@@ -1,0 +1,367 @@
+"""GLoRIA global/local contrastive matching — TPU-native formulation.
+
+This module subsumes the reference's ``gloria/loss/gloria_loss.py`` (the
+per-caption python loop over ``attention_fn`` + cosine aggregation,
+``/root/reference/gloria/loss/gloria_loss.py:19-201``), its eval twin
+``GLoRIA.get_local_similarities`` (``gloria/models/gloria_model.py:171-207``)
+and ``GLoRIA.get_attn_maps`` — as one fixed-shape batched program:
+
+- The reference loops over captions, repeating each caption's words across the
+  image batch and calling ``bmm`` twice per caption (O(B) kernel launches and
+  an effectively serial schedule). Here the full pairwise tensor
+  ``[T_text, B_img, S_regions, W_words]`` is computed by batched einsums that
+  XLA tiles directly onto the MXU, chunked over the text axis with
+  ``lax.scan`` + rematerialization to bound HBM footprint.
+- Variable caption lengths become *masks* over a static word axis: a masked
+  softmax over valid words is numerically identical to the reference's sliced
+  softmax (invalid logits → -inf → exactly zero probability).
+- The weighted-context norm needed for the cosine is computed via the region
+  Gram matrix ``G_b = C_b C_bᵀ`` (one [S,S] matmul per image, reused by every
+  caption) instead of materializing the [T,B,W,D] weighted-context tensor:
+  ``‖attn·C‖² = attn·G·attnᵀ``.  This removes the largest intermediate from
+  the pairwise loop entirely.
+
+Numerical-parity notes (warts preserved deliberately):
+- double softmax: first over *words per region*, then (×temp1) over *regions
+  per word* — same order as reference ``attention_fn``.
+- train slice = words ``[0:cap_len]`` (includes [CLS], excludes [SEP]);
+  eval slice = ``[1:cap_len+1]`` (excludes [CLS], includes [SEP]) — the
+  reference's off-by-one asymmetry (``gloria_loss.py:122`` vs
+  ``gloria_model.py:179``).
+- cosine denominator clamped at 1e-8 *after* the norm product.
+- the optional no-attn sink column is *prepended* to the region axis and
+  stripped from returned attention maps.
+- the attention-entropy ablation loss is returned **unweighted** (the
+  reference's weight only gates computation, ``gloria_loss.py:195-199``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+EPS = 1e-8
+
+
+def make_word_mask(cap_lens: jnp.ndarray, num_words: int, convention: str) -> jnp.ndarray:
+    """Boolean [T, W] mask of word positions that participate in matching.
+
+    ``cap_lens`` follows the reference's definition: number of real
+    (non-special) aggregated words + 1 (``gloria_model.py:107-109``).
+
+    convention='train': positions [0, cap_len)   — [CLS] + words
+    convention='eval':  positions [1, cap_len]   — words + [SEP]
+    """
+    idx = jnp.arange(num_words)[None, :]
+    lens = cap_lens[:, None]
+    if convention == "train":
+        return idx < lens
+    if convention == "eval":
+        return (idx >= 1) & (idx <= lens)
+    raise ValueError(f"unknown word-slice convention: {convention}")
+
+
+def masked_softmax(logits: jnp.ndarray, mask: jnp.ndarray, axis: int) -> jnp.ndarray:
+    neg = jnp.finfo(logits.dtype).min
+    logits = jnp.where(mask, logits, neg)
+    out = jax.nn.softmax(logits, axis=axis)
+    return jnp.where(mask, out, 0.0)
+
+
+def attention_fn(
+    words: jnp.ndarray,
+    regions: jnp.ndarray,
+    temp1: float,
+    word_mask: jnp.ndarray | None = None,
+    sink: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Single-pair (aligned-batch) double-softmax attention.
+
+    words:   [B, W, D]  word queries
+    regions: [B, R, D]  region contexts (row-major h*w flattening)
+    sink:    [D] optional learnable no-attention vector, prepended as an
+             extra source position (region index 0 after prepend).
+    Returns (weighted_context [B, W, D], attn [B, W, R]) — attn excludes the
+    sink column, matching reference ``attention_fn`` output.
+    """
+    ctx = regions
+    if sink is not None:
+        ctx = jnp.concatenate([jnp.broadcast_to(sink[None, None, :], (ctx.shape[0], 1, ctx.shape[2])), ctx], axis=1)
+    raw = jnp.einsum("bsd,bwd->bsw", ctx, words, preferred_element_type=jnp.float32)
+    if word_mask is not None:
+        a1 = masked_softmax(raw, word_mask[:, None, :], axis=-1)
+    else:
+        a1 = jax.nn.softmax(raw, axis=-1)
+    a2 = jax.nn.softmax(temp1 * jnp.swapaxes(a1, 1, 2), axis=-1)  # [B, W, S]
+    weighted = jnp.einsum("bws,bsd->bwd", a2, ctx, preferred_element_type=jnp.float32)
+    attn = a2[:, :, 1:] if sink is not None else a2
+    return weighted, attn
+
+
+class LocalMatch(NamedTuple):
+    """Outputs of the pairwise local matching program."""
+
+    similarities: jnp.ndarray  # [B_img, T_text] log-aggregated word-region sims
+    attn_diag: jnp.ndarray | None  # [B, W, R] attention of pair (i, i); None if T != B
+    flat_attn: jnp.ndarray | None  # [T, B, R(+1)] word-mean attention (ablation losses)
+    sink_mass: jnp.ndarray | None  # [T, B] mean-over-words sink mass (no-attn loss)
+
+
+def local_matching(
+    words: jnp.ndarray,
+    regions: jnp.ndarray,
+    word_mask: jnp.ndarray,
+    *,
+    temp1: float,
+    temp2: float,
+    agg: str = "sum",
+    sink: jnp.ndarray | None = None,
+    chunk: int = 8,
+    need_diag_attn: bool = True,
+    need_flat_attn: bool = False,
+    need_sink_mass: bool = False,
+) -> LocalMatch:
+    """All-pairs word-region matching.
+
+    words:     [T, W, D]   per-caption word embeddings (static word axis)
+    regions:   [B, R, D]   per-image region embeddings
+    word_mask: [T, W] bool valid-word mask (see :func:`make_word_mask`)
+
+    similarities[b, t] = log( Σ_w∈valid(t) exp(temp2 · cos(word_tw, ctx_tbw)) )
+    (or log-mean for agg='mean'), matching reference ``local_loss`` lines
+    144-160 but evaluated for every (t, b) pair at once.
+    """
+    T, W, D = words.shape
+    B, R, _ = regions.shape
+    f32 = jnp.float32
+    words = words.astype(f32)
+    ctx = regions.astype(f32)
+    if sink is not None:
+        sink_row = jnp.broadcast_to(sink.astype(f32)[None, None, :], (B, 1, D))
+        ctx = jnp.concatenate([sink_row, ctx], axis=1)
+    S = ctx.shape[1]
+
+    # Region Gram matrix, computed once per image and reused by every caption.
+    gram = jnp.einsum("bsd,bud->bsu", ctx, ctx, preferred_element_type=f32)  # [B, S, S]
+    word_norm = jnp.linalg.norm(words, axis=-1)  # [T, W]
+
+    if chunk <= 0 or chunk > T:
+        chunk = T
+    pad = (-T) % chunk
+    if pad:
+        words_p = jnp.pad(words, ((0, pad), (0, 0), (0, 0)))
+        mask_p = jnp.pad(word_mask, ((0, pad), (0, 0)))
+        norm_p = jnp.pad(word_norm, ((0, pad), (0, 0)))
+    else:
+        words_p, mask_p, norm_p = words, word_mask, word_norm
+    n_chunks = words_p.shape[0] // chunk
+
+    def chunk_body(words_c, mask_c, norm_c, start):
+        # words_c: [C, W, D]; mask_c: [C, W]
+        raw = jnp.einsum("bsd,cwd->cbsw", ctx, words_c, preferred_element_type=f32)
+        a1 = masked_softmax(raw, mask_c[:, None, None, :], axis=-1)
+        a2 = jax.nn.softmax(temp1 * jnp.swapaxes(a1, 2, 3), axis=-1)  # [C, B, W, S]
+        # cos numerator: word · (attn @ ctx) = Σ_s a2[w,s] raw[s,w]
+        dot = jnp.einsum("cbws,cbsw->cbw", a2, raw, preferred_element_type=f32)
+        # ‖attn @ ctx‖² via the Gram matrix
+        wctx_norm2 = jnp.einsum("cbws,bsu,cbwu->cbw", a2, gram, a2, preferred_element_type=f32)
+        denom = jnp.maximum(norm_c[:, None, :] * jnp.sqrt(wctx_norm2), EPS)
+        row_sim = dot / denom  # [C, B, W]
+        e = jnp.where(mask_c[:, None, :], jnp.exp(temp2 * row_sim), 0.0)
+        if agg == "sum":
+            sims = jnp.log(jnp.maximum(e.sum(-1), EPS))  # [C, B]
+        elif agg == "mean":
+            n_valid = jnp.maximum(mask_c.sum(-1), 1)[:, None]
+            sims = jnp.log(jnp.maximum(e.sum(-1) / n_valid, EPS))
+        elif agg == "max":
+            # eval convention (get_local_similarities): log(max_w exp(.)) over valid words
+            sims = jnp.log(jnp.maximum(jnp.where(mask_c[:, None, :], e, 0.0).max(-1), EPS))
+        else:
+            raise ValueError(f"unknown aggregation: {agg}")
+
+        attn_region = a2[..., 1:] if sink is not None else a2  # [C, B, W, R]
+        diag = None
+        if need_diag_attn:
+            # pair (t, t) for global text index t = start + c
+            gidx = jnp.clip(start + jnp.arange(chunk), 0, B - 1)
+            diag = jax.vmap(lambda a, i: a[i])(attn_region, gidx)  # [C, W, R]
+        flat = None
+        if need_flat_attn:
+            m = mask_c[:, None, :, None]
+            n_valid = jnp.maximum(mask_c.sum(-1), 1)[:, None, None]
+            flat = jnp.where(m, attn_region, 0.0).sum(2) / n_valid  # [C, B, R]
+            if sink is not None:
+                flat = jnp.concatenate([1.0 - flat.sum(-1, keepdims=True), flat], axis=-1)
+        smass = None
+        if need_sink_mass:
+            m = mask_c[:, None, :]
+            n_valid = jnp.maximum(mask_c.sum(-1), 1)[:, None]
+            region_mass = jnp.where(m, attn_region.sum(-1), 0.0).sum(-1) / n_valid  # [C, B]
+            smass = 1.0 - region_mass
+        return sims, diag, flat, smass
+
+    chunk_body = jax.checkpoint(chunk_body, static_argnums=())
+
+    if n_chunks == 1:
+        sims, diag, flat, smass = chunk_body(words_p, mask_p, norm_p, 0)
+    else:
+        xs = (
+            words_p.reshape(n_chunks, chunk, W, D),
+            mask_p.reshape(n_chunks, chunk, W),
+            norm_p.reshape(n_chunks, chunk, W),
+            jnp.arange(n_chunks) * chunk,
+        )
+        def scan_body(_, x):
+            return None, chunk_body(*x)
+        _, (sims, diag, flat, smass) = jax.lax.scan(scan_body, None, xs)
+        sims = sims.reshape(n_chunks * chunk, B)
+        diag = diag.reshape(n_chunks * chunk, W, -1) if need_diag_attn else None
+        flat = flat.reshape(n_chunks * chunk, B, -1) if need_flat_attn else None
+        smass = smass.reshape(n_chunks * chunk, B) if need_sink_mass else None
+    if pad:
+        sims = sims[:T]
+        diag = diag[:T] if diag is not None else None
+        flat = flat[:T] if flat is not None else None
+        smass = smass[:T] if smass is not None else None
+
+    return LocalMatch(
+        similarities=sims.T,  # reference layout: rows=images, cols=texts
+        attn_diag=diag if need_diag_attn else None,
+        flat_attn=flat if need_flat_attn else None,
+        sink_mass=smass if need_sink_mass else None,
+    )
+
+
+def _diag_cross_entropy(logits: jnp.ndarray) -> jnp.ndarray:
+    """Mean CE with labels = arange(n) (both contrastive directions use it)."""
+    n = logits.shape[0]
+    logz = jax.nn.logsumexp(logits, axis=-1)
+    correct = jnp.diagonal(logits)
+    return jnp.mean(logz - correct)
+
+
+def local_loss(
+    img_regions: jnp.ndarray,
+    words: jnp.ndarray,
+    cap_lens: jnp.ndarray,
+    *,
+    temp1: float = 4.0,
+    temp2: float = 5.0,
+    temp3: float = 10.0,
+    agg: str = "sum",
+    sink: jnp.ndarray | None = None,
+    no_attn_loss_weight: float | None = None,
+    attention_divergence_loss_weight: float | None = None,
+    attention_entropy_loss_weight: float | None = None,
+    chunk: int = 8,
+):
+    """Local InfoNCE over the batch similarity matrix + ablation losses.
+
+    img_regions: [B, R, D]; words: [B, W, D]; cap_lens: [B] int.
+    Returns (loss0, loss1, no_attn_loss, kl_loss, entropy_loss, attn_diag)
+    mirroring reference ``local_loss`` (``gloria_loss.py:99-201``); attn_diag
+    is [B, W, R] (the reference's list of per-caption [W_i, h, w] maps, here
+    fixed-shape with the word mask implicit).
+    """
+    B, W, _ = words.shape
+    mask = make_word_mask(cap_lens, W, "train")
+    need_flat = (attention_divergence_loss_weight is not None) or (attention_entropy_loss_weight is not None)
+    m = local_matching(
+        words,
+        img_regions,
+        mask,
+        temp1=temp1,
+        temp2=temp2,
+        agg=agg,
+        sink=sink,
+        chunk=chunk,
+        need_diag_attn=True,
+        need_flat_attn=need_flat,
+        need_sink_mass=no_attn_loss_weight is not None,
+    )
+    logits = m.similarities * temp3  # [B_img, B_text]
+    loss0 = _diag_cross_entropy(logits)       # image -> text
+    loss1 = _diag_cross_entropy(logits.T)     # text -> image
+
+    no_attn_loss = 0.0
+    if no_attn_loss_weight is not None:
+        # mean over diagonal pairs of log(mean-over-words sink mass)
+        diag_mass = jnp.diagonal(m.sink_mass.T)  # sink_mass is [T, B]
+        no_attn_loss = no_attn_loss_weight * jnp.mean(jnp.log(jnp.maximum(diag_mass, EPS)))
+
+    kl_loss = 0.0
+    if attention_divergence_loss_weight is not None:
+        flat = m.flat_attn  # [T, B, R']
+        p = jnp.maximum(flat, EPS)
+        # klmat[j, b] = symKL( p[b, b, :], p[j, b, :] )  (see reference loop)
+        anchor = jnp.diagonal(p, axis1=0, axis2=1).T[None, :, :]  # [1, B, R'] with p[b,b]
+        anchor = jnp.broadcast_to(anchor, p.shape)
+        other = jnp.swapaxes(p, 0, 1)  # other[b, j] = p[j, b]
+        anchor_b = jnp.swapaxes(anchor, 0, 1)
+        kl_ab = jnp.sum(anchor_b * jnp.log(anchor_b / other), axis=-1)
+        kl_ba = jnp.sum(other * jnp.log(other / anchor_b), axis=-1)
+        sym = 0.5 * (kl_ab + kl_ba)  # [B, T] indexed [b, j]
+        off = 1.0 - jnp.eye(B)
+        kl_loss = attention_divergence_loss_weight * (-(sym * off).sum() / off.sum())
+
+    entropy_loss = 0.0
+    if attention_entropy_loss_weight is not None:
+        p = jnp.maximum(m.flat_attn, EPS)
+        # NOTE: unweighted on purpose — reference gloria_loss.py:195-199.
+        entropy_loss = jnp.mean(-jnp.sum(p * jnp.log(p), axis=-1))
+
+    return loss0, loss1, no_attn_loss, kl_loss, entropy_loss, m.attn_diag
+
+
+def global_loss(img_emb: jnp.ndarray, txt_emb: jnp.ndarray, temp3: float = 10.0, eps: float = EPS):
+    """Symmetric InfoNCE over the global cosine-similarity matrix.
+
+    Mirrors reference ``global_loss`` (``gloria_loss.py:66-88``): rows=images.
+    """
+    img = img_emb.astype(jnp.float32)
+    txt = txt_emb.astype(jnp.float32)
+    scores = jnp.einsum("id,td->it", img, txt, preferred_element_type=jnp.float32)
+    norms = jnp.linalg.norm(img, axis=-1)[:, None] * jnp.linalg.norm(txt, axis=-1)[None, :]
+    logits = scores / jnp.maximum(norms, eps) * temp3
+    return _diag_cross_entropy(logits), _diag_cross_entropy(logits.T)
+
+
+def global_similarities(img_emb: jnp.ndarray, txt_emb: jnp.ndarray) -> jnp.ndarray:
+    """Pairwise cosine similarity [B_img, B_text] (reference computes this on
+    host with sklearn, ``gloria_model.py:164-169``; identical math)."""
+    img = img_emb / jnp.maximum(jnp.linalg.norm(img_emb, axis=-1, keepdims=True), EPS)
+    txt = txt_emb / jnp.maximum(jnp.linalg.norm(txt_emb, axis=-1, keepdims=True), EPS)
+    return img @ txt.T
+
+
+def local_similarities_eval(
+    img_regions: jnp.ndarray,
+    words: jnp.ndarray,
+    cap_lens: jnp.ndarray,
+    *,
+    temp1: float = 4.0,
+    temp2: float = 5.0,
+    sink: jnp.ndarray | None = None,
+    chunk: int = 0,
+) -> jnp.ndarray:
+    """Eval-path local similarities [B_img, T_text].
+
+    Matches ``GLoRIA.get_local_similarities`` (``gloria_model.py:171-207``):
+    word slice ``[1:cap_len+1]`` and **max** over words instead of sum.
+    """
+    W = words.shape[1]
+    mask = make_word_mask(cap_lens, W, "eval")
+    m = local_matching(
+        words, img_regions, mask,
+        temp1=temp1, temp2=temp2, agg="max", sink=sink, chunk=chunk,
+        need_diag_attn=False,
+    )
+    return m.similarities
+
+
+def attention_entropy(attn: jnp.ndarray, eps: float = EPS) -> jnp.ndarray:
+    p = jnp.maximum(attn, eps)
+    return -jnp.sum(p * jnp.log(p), axis=-1)

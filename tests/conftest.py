@@ -1,0 +1,14 @@
+"""Test harness configuration.
+
+Forces an 8-device virtual CPU mesh so multi-chip sharding tests run without
+TPU hardware (the driver separately dry-runs the real multi-chip path).
+Must run before the first ``import jax`` anywhere in the test process.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
