@@ -12,3 +12,9 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+# The axon TPU plugin re-sets JAX_PLATFORMS at registration time; the config
+# knob takes precedence over the env var, so pin it explicitly.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

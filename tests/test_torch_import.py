@@ -1,0 +1,152 @@
+"""End-to-end torch→flax weight-import parity.
+
+Builds real torch modules (HF BertModel offline-init, a minimal torch ResNet,
+torch TransformerEncoderLayer), imports their state dicts through
+``gloria_tpu.utils.torch_import`` and checks forward outputs match.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from gloria_tpu.models.bert import BertConfig, BertModel
+from gloria_tpu.models.gloria_model import TransformerEncoderLayer
+from gloria_tpu.models.resnet import ResNet, Bottleneck
+from gloria_tpu.utils import torch_import
+
+jax.config.update("jax_default_matmul_precision", "highest")
+
+
+def test_bert_import_matches_hf_forward():
+    import transformers
+
+    hf_cfg = transformers.BertConfig(
+        vocab_size=99, hidden_size=32, num_hidden_layers=3, num_attention_heads=4,
+        intermediate_size=48, max_position_embeddings=40, type_vocab_size=2,
+    )
+    torch.manual_seed(0)
+    hf = transformers.BertModel(hf_cfg)
+    hf.eval()
+
+    ids = torch.randint(0, 99, (2, 11))
+    mask = torch.ones(2, 11, dtype=torch.long)
+    mask[1, 7:] = 0
+    with torch.no_grad():
+        out = hf(ids, attention_mask=mask, output_hidden_states=True)
+
+    cfg = BertConfig(
+        vocab_size=99, hidden_size=32, num_layers=3, num_heads=4,
+        intermediate_size=48, max_position_embeddings=40,
+    )
+    params = torch_import.import_bert(hf.state_dict(), num_layers=3, num_heads=4)
+    model = BertModel(cfg)
+    seq, pooled, states = model.apply(
+        {"params": params}, jnp.asarray(ids.numpy()), jnp.asarray(mask.numpy())
+    )
+    np.testing.assert_allclose(np.asarray(seq), out.last_hidden_state.numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pooled), out.pooler_output.numpy(), rtol=1e-4, atol=1e-5)
+    for i, h in enumerate(out.hidden_states):
+        np.testing.assert_allclose(np.asarray(states[i]), h.numpy(), rtol=1e-4, atol=1e-5)
+
+
+class _TorchBottleneck(torch.nn.Module):
+    expansion = 4
+
+    def __init__(self, inplanes, planes, stride=1, downsample=None):
+        super().__init__()
+        self.conv1 = torch.nn.Conv2d(inplanes, planes, 1, bias=False)
+        self.bn1 = torch.nn.BatchNorm2d(planes)
+        self.conv2 = torch.nn.Conv2d(planes, planes, 3, stride=stride, padding=1, bias=False)
+        self.bn2 = torch.nn.BatchNorm2d(planes)
+        self.conv3 = torch.nn.Conv2d(planes, planes * 4, 1, bias=False)
+        self.bn3 = torch.nn.BatchNorm2d(planes * 4)
+        self.relu = torch.nn.ReLU()
+        self.downsample = downsample
+
+    def forward(self, x):
+        idt = x
+        out = self.relu(self.bn1(self.conv1(x)))
+        out = self.relu(self.bn2(self.conv2(out)))
+        out = self.bn3(self.conv3(out))
+        if self.downsample is not None:
+            idt = self.downsample(x)
+        return self.relu(out + idt)
+
+
+class _TorchMiniResNet(torch.nn.Module):
+    """torchvision-topology ResNet with (1,1,1,1) bottleneck blocks."""
+
+    def __init__(self):
+        super().__init__()
+        self.conv1 = torch.nn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+        self.bn1 = torch.nn.BatchNorm2d(64)
+        self.relu = torch.nn.ReLU()
+        self.maxpool = torch.nn.MaxPool2d(3, stride=2, padding=1)
+        inplanes = 64
+        for i, planes in enumerate([64, 128, 256, 512]):
+            stride = 1 if i == 0 else 2
+            down = torch.nn.Sequential(
+                torch.nn.Conv2d(inplanes, planes * 4, 1, stride=stride, bias=False),
+                torch.nn.BatchNorm2d(planes * 4),
+            )
+            setattr(self, f"layer{i+1}", torch.nn.Sequential(_TorchBottleneck(inplanes, planes, stride, down)))
+            inplanes = planes * 4
+
+    def forward(self, x):
+        x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+        x = self.layer1(x)
+        x = self.layer2(x)
+        x = self.layer3(x)
+        local = x
+        x = self.layer4(x)
+        pooled = x.mean(dim=(2, 3))
+        return pooled, local
+
+
+def test_resnet_import_matches_torch_forward():
+    torch.manual_seed(1)
+    tm = _TorchMiniResNet()
+    tm.eval()
+    # randomize BN stats so running-average use is actually exercised
+    with torch.no_grad():
+        for m in tm.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.5)
+                m.running_var.uniform_(0.5, 1.5)
+
+    x = torch.randn(2, 3, 64, 64)
+    with torch.no_grad():
+        ref_pooled, ref_local = tm(x)
+
+    params, stats = torch_import.import_resnet(tm.state_dict(), layers=(1, 1, 1, 1))
+    model = ResNet(block=Bottleneck, layers=(1, 1, 1, 1))
+    pooled, local = model.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(x.permute(0, 2, 3, 1).numpy()), train=False,
+    )
+    np.testing.assert_allclose(np.asarray(pooled), ref_pooled.numpy(), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(local), ref_local.permute(0, 2, 3, 1).numpy(), rtol=1e-3, atol=1e-4
+    )
+
+
+def test_transformer_layer_import_matches_torch():
+    torch.manual_seed(2)
+    tl = torch.nn.TransformerEncoderLayer(d_model=32, nhead=4)
+    tl.eval()
+    x = torch.randn(9, 2, 32)  # [seq, batch, dim] torch convention
+    with torch.no_grad():
+        ref = tl(x)
+
+    params = torch_import.import_transformer_layer(
+        {f"layers.0.{k}": v for k, v in tl.state_dict().items()}, "layers.0", num_heads=4
+    )
+    layer = TransformerEncoderLayer(d_model=32, num_heads=4)
+    got = layer.apply({"params": params}, jnp.asarray(x.permute(1, 0, 2).numpy()))
+    np.testing.assert_allclose(
+        np.asarray(got), ref.permute(1, 0, 2).numpy(), rtol=1e-4, atol=1e-5
+    )
