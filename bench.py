@@ -1,0 +1,113 @@
+"""Pretrain-throughput benchmark.
+
+Measures steady-state image-text pairs/sec of the full jitted GLoRIA pretrain
+step (ResNet-50 + BERT-base, batch 48, 224 px, 97 tokens — the reference's
+pinned training setup, BASELINE.md) on the default JAX device, and prints ONE
+JSON line:
+
+    {"metric": ..., "value": N, "unit": "pairs/sec/chip", "vs_baseline": N}
+
+``vs_baseline`` is the speedup over the CPU baseline of this same program
+(measured in this repo with ``--cpu-baseline``; see CPU_BASELINE_PAIRS_PER_SEC).
+
+Flags:
+  --smoke          tiny model/batch on CPU; fast correctness check
+  --cpu-baseline   measure the full config on CPU and print it (slow)
+  --steps N        timed steps (default 10)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+# Full-config train-step throughput on this image's CPU (measured via
+# `JAX_PLATFORMS=cpu python bench.py --cpu-baseline`); the reference torch
+# pipeline has no published numbers (BASELINE.md), so the north-star ratio is
+# computed against this CPU run of the identical program.
+CPU_BASELINE_PAIRS_PER_SEC = 2.92
+
+
+def build(smoke: bool):
+    import jax
+    import jax.numpy as jnp
+
+    from gloria_tpu.builder import default_pretrain_config, init_gloria
+    from gloria_tpu.data.synthetic import make_synthetic_batch
+
+    cfg = default_pretrain_config()
+    if smoke:
+        cfg.model.vision.model_name = "resnet_18"
+        cfg.model.text.embedding_dim = 64
+        cfg.model.text.bert_config = {
+            "vocab_size": 512, "hidden_size": 64, "num_layers": 2, "num_heads": 4,
+            "intermediate_size": 128, "max_position_embeddings": 64,
+        }
+        batch_size, tokens, imsize = 8, 24, 64
+    else:
+        cfg.model.text.bert_config = {
+            "vocab_size": 28996, "hidden_size": 768, "num_layers": 12, "num_heads": 12,
+            "intermediate_size": 3072, "max_position_embeddings": 512,
+        }
+        batch_size, tokens, imsize = 48, 97, 224
+
+    raw = make_synthetic_batch(batch_size=batch_size, num_tokens=tokens, imsize=imsize,
+                               vocab_size=cfg.model.text.bert_config["vocab_size"])
+    dtype = jnp.float32 if smoke else jnp.bfloat16
+    model, state, train_step, _ = init_gloria(cfg, raw, dtype=dtype)
+    batch = {k: jnp.asarray(v) for k, v in raw.items()}
+    return state, batch, train_step, batch_size
+
+
+def measure(state, batch, train_step, batch_size: int, steps: int, warmup: int = 3):
+    import jax
+
+    for _ in range(warmup):
+        state, metrics = train_step(state, batch)
+    jax.block_until_ready(metrics["loss"])
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = train_step(state, batch)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+    return batch_size * steps / dt, float(metrics["loss"])
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--smoke", action="store_true")
+    ap.add_argument("--cpu-baseline", action="store_true")
+    ap.add_argument("--steps", type=int, default=10)
+    args = ap.parse_args()
+
+    if args.cpu_baseline:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    state, batch, train_step, bs = build(args.smoke)
+    steps = args.steps if not args.cpu_baseline else max(2, args.steps // 5)
+    warmup = 1 if (args.cpu_baseline or args.smoke) else 3
+    pairs_per_sec, loss = measure(state, batch, train_step, bs, steps, warmup)
+
+    name = "pretrain_pairs_per_sec_per_chip"
+    if args.smoke:
+        name += "_smoke"
+    if args.cpu_baseline:
+        name += "_cpu_baseline"
+    print(json.dumps({
+        "metric": name,
+        "value": round(pairs_per_sec, 3),
+        "unit": "pairs/sec",
+        "vs_baseline": round(pairs_per_sec / CPU_BASELINE_PAIRS_PER_SEC, 3),
+    }))
+    if not (loss == loss):  # NaN guard
+        print(f"non-finite loss: {loss}", file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

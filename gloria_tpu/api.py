@@ -1,0 +1,241 @@
+"""Public API: model loading, similarities, zero-shot classification, prompts.
+
+Mirrors the reference's top-level ``gloria/gloria.py`` surface:
+``available_models`` / ``load_gloria`` / ``load_img_classification_model`` /
+``get_similarities`` / ``zero_shot_classification`` /
+``generate_chexpert_class_prompts`` (``/root/reference/gloria/gloria.py``),
+plus the ``GLoRIA.process_img`` / ``process_text`` host preprocessing
+(``gloria/models/gloria_model.py:233-336``).
+
+Checkpoint sources:
+- gloria_tpu orbax checkpoints (``training.checkpoints``),
+- the reference's torch Lightning ``.ckpt`` zoo — loaded with torch on host
+  and mapped through ``utils.torch_import`` (state-dict key surgery included).
+"""
+
+from __future__ import annotations
+
+import os
+import random
+from pathlib import Path
+from typing import Union
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from . import constants
+from .configs import Config
+from .data.tokenizer import TextProcessor, WordPieceTokenizer, load_tokenizer
+from .data.transforms import build_transformation, letterbox_resize, to_rgb
+from .models.gloria_model import GLoRIA
+from .ops import gloria_loss
+from .training.train import make_forward
+from .utils import torch_import
+
+# the reference seeds these at import for prompt sampling (gloria.py:16-17)
+np.random.seed(6)
+random.seed(6)
+
+_MODELS = {
+    "gloria_resnet50": "./pretrained/chexpert_resnet50.ckpt",
+    "gloria_resnet18": "./pretrained/chexpert_resnet18.ckpt",
+}
+_SEGMENTATION_MODELS = {"gloria_resnet50": "./pretrained/chexpert_resnet50.ckpt"}
+_FEATURE_DIM = {"gloria_resnet50": 2048, "gloria_resnet18": 2048}
+
+
+def available_models() -> list[str]:
+    return list(_MODELS.keys())
+
+
+def available_segmentation_models() -> list[str]:
+    return list(_SEGMENTATION_MODELS.keys())
+
+
+class GloriaModel:
+    """Bundled model + params + tokenizer with the reference's instance API."""
+
+    def __init__(self, cfg: Config, variables: dict, tokenizer: WordPieceTokenizer | None = None):
+        self.cfg = cfg
+        self.model = GLoRIA(cfg)
+        self.variables = variables
+        self.tokenizer = tokenizer or load_tokenizer(
+            bert_type=cfg.model.text.bert_type if cfg.model and cfg.model.text else None,
+            vocab_file=cfg.model.text.vocab_file if cfg.model and cfg.model.text else None,
+            corpus=["no finding"],
+        )
+        word_num = int(cfg.data.text.word_num or 97) if cfg.data and cfg.data.text else 97
+        self.text_processor = TextProcessor(self.tokenizer, num_words=word_num)
+        self._forward = jax.jit(make_forward(self.model))
+        g = (cfg.model.gloria if cfg.model else None) or Config()
+        self.temp1 = g.temp1 or 4.0
+        self.temp2 = g.temp2 or 5.0
+        self.temp3 = g.temp3 or 10.0
+
+    # -- host preprocessing ------------------------------------------------
+    def process_img(self, paths_or_arrays, device=None) -> jnp.ndarray:
+        """Paths (cv2 grayscale read) or arrays → letterbox → eval transform →
+        NHWC float32 (reference ``GLoRIA.process_img``)."""
+        import cv2
+
+        if isinstance(paths_or_arrays, (str, Path, np.ndarray)):
+            paths_or_arrays = [paths_or_arrays]
+        transform = build_transformation(self.cfg, split="test")
+        imsize = int(self.cfg.data.image.imsize or 256) if self.cfg.data and self.cfg.data.image else 256
+        imgs = []
+        for p in paths_or_arrays:
+            x = cv2.imread(str(p), 0) if isinstance(p, (str, Path)) else np.asarray(p)
+            x = letterbox_resize(x, imsize)
+            imgs.append(transform(to_rgb(x)))
+        return jnp.asarray(np.stack(imgs).astype(np.float32))
+
+    def process_text(self, text: Union[str, list[str]], device=None) -> dict:
+        if isinstance(text, str):
+            text = [text]
+        return self.text_processor(text)
+
+    def process_class_prompts(self, class_prompts: dict, device=None) -> dict:
+        return {k: self.process_text(v) for k, v in class_prompts.items()}
+
+    # -- forward + similarities ----------------------------------------------
+    def encode(self, imgs: jnp.ndarray, txts: dict):
+        img_l, img_g, txt_l, txt_g = self._forward(self.variables, {
+            "imgs": jnp.asarray(imgs),
+            "caption_ids": jnp.asarray(txts["caption_ids"]),
+            "attention_mask": jnp.asarray(txts["attention_mask"]),
+            "token_type_ids": jnp.asarray(txts["token_type_ids"]),
+            "word_assignment": jnp.asarray(txts["word_assignment"]),
+        })
+        return img_l, img_g, txt_l, txt_g
+
+    def get_global_similarities(self, img_emb_g, text_emb_g) -> np.ndarray:
+        return np.asarray(gloria_loss.global_similarities(img_emb_g, text_emb_g))
+
+    def get_local_similarities(self, img_emb_l, text_emb_l, cap_lens) -> np.ndarray:
+        sink = self.variables["params"].get("no_attn_vec")
+        return np.asarray(gloria_loss.local_similarities_eval(
+            img_emb_l, text_emb_l, jnp.asarray(cap_lens),
+            temp1=4.0, temp2=5.0, sink=sink,  # hardcoded in the reference eval path
+        ))
+
+    def get_attn_maps(self, img_emb_l, text_emb_l, cap_lens):
+        """Diagonal-pair attention maps [B, W, R] (train-slice convention)."""
+        sink = self.variables["params"].get("no_attn_vec")
+        W = text_emb_l.shape[1]
+        m = gloria_loss.local_matching(
+            text_emb_l, img_emb_l,
+            gloria_loss.make_word_mask(jnp.asarray(cap_lens), W, "train"),
+            temp1=self.temp1, temp2=self.temp2, sink=sink, chunk=0,
+            need_diag_attn=True, precision="highest",
+        )
+        return m.attn_diag
+
+    def get_similarities(self, imgs, txts, similarity_type: str = "both") -> np.ndarray:
+        if similarity_type not in ("global", "local", "both"):
+            raise RuntimeError("similarity type should be one of ['global', 'local', 'both']")
+        if isinstance(txts, (str, list)):
+            raise RuntimeError("Text input not processed - please use process_text")
+        img_l, img_g, txt_l, txt_g = self.encode(imgs, txts)
+        global_sim = self.get_global_similarities(img_g, txt_g)
+        local_sim = self.get_local_similarities(img_l, txt_l, txts["cap_lens"])
+        if similarity_type == "global":
+            return global_sim
+        if similarity_type == "local":
+            return local_sim
+        return (local_sim + global_sim) / 2
+
+    def zero_shot_classification(self, imgs, cls_txt_mapping: dict):
+        """Per-class max-over-prompts mean similarity, z-normalized across
+        classes (reference ``zero_shot_classification``, gloria.py:240-275)."""
+        import pandas as pd
+
+        class_similarities = []
+        for cls_name, cls_txt in cls_txt_mapping.items():
+            sims = self.get_similarities(imgs, cls_txt, similarity_type="both")
+            class_similarities.append(sims.max(axis=1))
+        arr = np.stack(class_similarities, axis=1)
+        if arr.shape[0] > 1:
+            arr = (arr - arr.mean(axis=0)) / arr.std(axis=0)  # utils.normalize
+        return pd.DataFrame(arr, columns=list(cls_txt_mapping.keys()))
+
+
+def generate_chexpert_class_prompts(n: int = 5) -> dict:
+    """severity × subtype × location prompt grammar sampling
+    (reference gloria.py:278-306)."""
+    prompts = {}
+    for k, v in constants.CHEXPERT_CLASS_PROMPTS.items():
+        cls_prompts = []
+        keys = list(v.keys())
+        for k0 in v[keys[0]]:
+            for k1 in v[keys[1]]:
+                for k2 in v[keys[2]]:
+                    cls_prompts.append(f"{k0} {k1} {k2}")
+        prompts[k] = random.sample(cls_prompts, n)
+    return prompts
+
+
+def load_gloria(
+    name: str = "gloria_resnet50",
+    device=None,
+    cfg_override: Config | None = None,
+    tokenizer: WordPieceTokenizer | None = None,
+) -> GloriaModel:
+    """Load from a registry name, a torch ``.ckpt`` (reference zoo), or a
+    gloria_tpu orbax checkpoint directory."""
+    if name in _MODELS:
+        ckpt_path = _MODELS[name]
+    elif os.path.exists(name):
+        ckpt_path = name
+    else:
+        raise RuntimeError(f"Model {name} not found; available models = {available_models()}")
+    if not os.path.exists(ckpt_path):
+        raise RuntimeError(
+            f"Model {name} not found. Download the pretrained weights from the "
+            f"GLoRIA zoo and place them at {ckpt_path}."
+        )
+
+    path = Path(ckpt_path)
+    if path.is_dir():  # gloria_tpu checkpoint
+        from .training.checkpoints import load_checkpoint
+
+        state, cfg = load_checkpoint(path)
+        cfg = cfg_override or cfg or Config()
+        variables = state if "params" in state else {"params": state}
+        return GloriaModel(cfg, variables, tokenizer)
+
+    # torch Lightning checkpoint from the reference zoo
+    import torch
+
+    ckpt = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+    torch_cfg = ckpt.get("hyper_parameters", {})
+    cfg = cfg_override or Config(_cfg_to_dict(torch_cfg))
+    state_dict = ckpt["state_dict"]
+    bert_cfg = (cfg.model.text.bert_config or Config()) if cfg.model and cfg.model.text else Config()
+    variables = torch_import.import_gloria(
+        state_dict,
+        resnet_layers=_resnet_layers(cfg),
+        bert_layers=int(bert_cfg.num_layers or 12),
+        bert_heads=int(bert_cfg.num_heads or 12),
+        transformer_layers=int(cfg.model.image_transformer.num_layers) if cfg.model and cfg.model.image_transformer else 0,
+        transformer_heads=int(cfg.model.image_transformer.num_heads) if cfg.model and cfg.model.image_transformer else 1,
+    )
+    return GloriaModel(cfg, variables, tokenizer)
+
+
+def _resnet_layers(cfg: Config) -> tuple[int, ...]:
+    name = (cfg.model.vision.model_name if cfg.model and cfg.model.vision else None) or "resnet_50"
+    return {
+        "resnet_18": (2, 2, 2, 2), "resnet_34": (3, 4, 6, 3), "resnet_50": (3, 4, 6, 3),
+        "resnet_101": (3, 4, 23, 3), "resnext_50": (3, 4, 6, 3), "resnext_101": (3, 4, 23, 3),
+    }[name]
+
+
+def _cfg_to_dict(obj):
+    """OmegaConf/namespace/dict → plain dict (torch ckpt hyper_parameters)."""
+    if hasattr(obj, "items"):
+        return {k: _cfg_to_dict(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_cfg_to_dict(v) for v in obj]
+    return obj

@@ -1,0 +1,79 @@
+"""Factory layer: cfg → model / optimizer / scheduler / steps.
+
+Mirrors the reference's ``gloria/builder.py`` public surface with TPU-native
+internals.  ``build_data_module`` / ``build_transformation`` live in
+``gloria_tpu.data`` and are re-exported once constructed.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .configs import Config, load_config
+from .models.gloria_model import GLoRIA
+from .training import optim
+from .training.train import TrainState, create_train_state, make_pretrain_steps
+
+
+def default_pretrain_config() -> Config:
+    """Schema-complete config mirroring ``configs/chexpert_pretrain_config.yaml``."""
+    return Config({
+        "experiment_name": "gloria_pretrain",
+        "phase": "pretrain",
+        "lightning": {
+            "trainer": {"max_epochs": 50, "gradient_clip_val": 0.25, "lr": 5.0e-5, "precision": 16},
+            "checkpoint_callback": {"monitor": "val_loss", "save_last": True, "mode": "min", "save_top_k": 10},
+            "early_stopping_callback": {"monitor": "val_loss", "min_delta": 0.0, "patience": 10, "mode": "min"},
+        },
+        "model": {
+            "gloria": {"local_loss_weight": 1.0, "global_loss_weight": 1.0,
+                        "temp1": 4.0, "temp2": 5.0, "temp3": 10.0},
+            "vision": {"model_name": "resnet_50", "freeze_cnn": False, "pretrained": True},
+            "text": {"bert_type": "emilyalsentzer/Bio_ClinicalBERT", "last_n_layers": 4,
+                      "aggregate_method": "sum", "norm": False, "embedding_dim": 768,
+                      "freeze_bert": False, "agg_tokens": True},
+        },
+        "data": {"dataset": "chexpert",
+                  "text": {"word_num": 97, "captions_per_image": 5, "full_report": False},
+                  "image": {"imsize": 256}},
+        "transforms": {"norm": "half", "random_crop": {"crop_size": 224}},
+        "train": {"batch_size": 48, "num_workers": 18,
+                   "optimizer": {"name": "Adam", "weight_decay": 1.0e-6},
+                   "scheduler": {"name": "plateau", "monitor": "val_loss", "interval": "epoch", "frequency": 1}},
+    })
+
+
+def build_gloria_model(cfg: Config, dtype=jnp.float32) -> GLoRIA:
+    return GLoRIA(cfg, dtype=dtype)
+
+
+def build_optimizer(cfg: Config, params=None) -> optax.GradientTransformation:
+    clip = None
+    if cfg.lightning and cfg.lightning.trainer and cfg.lightning.trainer.gradient_clip_val:
+        clip = float(cfg.lightning.trainer.gradient_clip_val)
+    tx = optim.make_optimizer(cfg, grad_clip=clip)
+    if params is not None:
+        pred = optim.trainable_predicate(cfg)
+        labels = optim.partition_trainable(params, pred)
+        flat = jax.tree_util.tree_leaves(labels)
+        if any(l == "frozen" for l in flat):
+            tx = optim.freeze_wrap(tx, labels)
+    return tx
+
+
+def build_scheduler(cfg: Config) -> optim.LRScheduler:
+    return optim.make_scheduler(cfg)
+
+
+def init_gloria(cfg: Config, batch: dict, seed: int = 0, dtype=jnp.float32):
+    """Initialize model + optimizer + train state from an example batch.
+    Returns (model, state, train_step, eval_step)."""
+    model = build_gloria_model(cfg, dtype=dtype)
+    model_batch = {k: jnp.asarray(v) for k, v in batch.items() if k != "cap_lens" and k != "segmentation_labels"}
+    variables = model.init(jax.random.PRNGKey(seed), model_batch)
+    tx = build_optimizer(cfg, variables["params"])
+    state = create_train_state(model, variables, tx, jax.random.PRNGKey(seed + 1))
+    train_step, eval_step = make_pretrain_steps(model, tx)
+    return model, state, train_step, eval_step

@@ -1,0 +1,116 @@
+"""Batch assembly: instances → fixed-shape device-ready arrays.
+
+Equivalent of the reference's ``GloriaCollateFn``
+(``/root/reference/gloria/datasets/mimic_for_gloria.py:57-263``) and
+``multimodal_collate_fn`` (``pretraining_dataset.py:250-282``):
+
+- images: letterbox to ``data.image.imsize`` then split transform → NHWC f32;
+- text: report cleanup + WordPiece + word-assignment matrices + cap_lens;
+- optional sort by caption length descending (the reference sorts so its
+  per-caption loop processes long captions first; with masked fixed-shape
+  compute the sort is only kept for output-order parity);
+- optional segmentation labels from bounding boxes: bbox → pixel mask at the
+  original resolution → letterbox-resized mask → bbox re-projection
+  (``mimic_for_gloria.py:13-54,110-117``).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+from ..configs import Config
+from .tokenizer import TextProcessor, WordPieceTokenizer
+from .transforms import build_transformation, letterbox_resize, to_rgb
+
+
+def bbox_to_mask(bbox, shape) -> np.ndarray:
+    """[x1, y1, x2, y2] → binary mask [H, W] (mimic_for_gloria.py:13-18)."""
+    m = np.zeros(shape, dtype=np.float32)
+    x1, y1, x2, y2 = (int(round(v)) for v in bbox)
+    m[max(y1, 0) : max(y2, 0), max(x1, 0) : max(x2, 0)] = 1.0
+    return m
+
+
+def mask_to_bbox(mask: np.ndarray) -> list[float] | None:
+    ys, xs = np.nonzero(mask)
+    if len(ys) == 0:
+        return None
+    return [float(xs.min()), float(ys.min()), float(xs.max() + 1), float(ys.max() + 1)]
+
+
+class GloriaCollate:
+    """Callable collate: list of {'image': HW(C) array, 'report': str,
+    'bboxes': optional [[x1,y1,x2,y2],...]} → model batch dict."""
+
+    def __init__(self, cfg: Config, split: str, tokenizer: WordPieceTokenizer,
+                 seed: int | None = None, sort_by_len: bool = True):
+        self.cfg = cfg
+        self.split = split
+        self.imsize = int(cfg.data.image.imsize or 256)
+        self.crop = int(cfg.transforms.random_crop.crop_size) if cfg.transforms and cfg.transforms.random_crop else self.imsize
+        self.transform = build_transformation(cfg, split, seed=seed)
+        word_num = int(cfg.data.text.word_num or 97)
+        self.text = TextProcessor(tokenizer, num_words=word_num)
+        self.sort_by_len = sort_by_len
+
+    def process_img(self, images: list[np.ndarray]) -> np.ndarray:
+        out = []
+        for im in images:
+            if im.dtype != np.uint8:
+                lo, hi = float(im.min()), float(im.max())
+                im = ((im - lo) / (hi - lo + 1e-8) * 255).astype(np.uint8)
+            im = letterbox_resize(to_rgb(im), self.imsize)
+            out.append(self.transform(im))
+        return np.stack(out).astype(np.float32)
+
+    def process_text(self, reports: list[str]) -> dict:
+        return self.text(reports)
+
+    def segmentation_labels(self, instances: list[dict], orig_shapes: list[tuple[int, int]]) -> np.ndarray:
+        """Union-of-bboxes masks at the *cropped* training resolution: mask in
+        original pixels → letterbox resize → center region crop."""
+        labels = []
+        for inst, shape in zip(instances, orig_shapes):
+            mask = np.zeros(shape, np.float32)
+            for bbox in inst.get("bboxes") or []:
+                mask = np.maximum(mask, bbox_to_mask(bbox, shape))
+            mask = letterbox_resize((mask * 255).astype(np.uint8), self.imsize)
+            if self.crop != self.imsize:
+                off = (self.imsize - self.crop) // 2
+                mask = mask[off : off + self.crop, off : off + self.crop]
+            labels.append((mask > 127).astype(np.float32))
+        return np.stack(labels)
+
+    def __call__(self, instances: list[dict]) -> dict[str, Any]:
+        text = self.process_text([inst["report"] for inst in instances])
+        order = np.arange(len(instances))
+        if self.sort_by_len:
+            order = np.argsort(-text["cap_lens"], kind="stable")
+        imgs = self.process_img([instances[i]["image"] for i in order])
+        batch = {
+            "imgs": imgs,
+            "caption_ids": text["caption_ids"][order],
+            "attention_mask": text["attention_mask"][order],
+            "token_type_ids": text["token_type_ids"][order],
+            "word_assignment": text["word_assignment"][order],
+            "cap_lens": text["cap_lens"][order],
+        }
+        words = [text["words"][i] for i in order]
+        if any("bboxes" in inst for inst in instances):
+            shapes = [np.asarray(instances[i]["image"]).shape[:2] for i in order]
+            batch["segmentation_labels"] = self.segmentation_labels(
+                [instances[i] for i in order], shapes
+            )
+        # host-only extras (not shipped to device)
+        batch["_words"] = words
+        batch["_order"] = order
+        if all("id" in inst for inst in instances):
+            batch["_ids"] = [instances[i]["id"] for i in order]
+        return batch
+
+
+def device_batch(batch: dict) -> dict:
+    """Strip host-only keys (leading underscore)."""
+    return {k: v for k, v in batch.items() if not k.startswith("_")}

@@ -1,0 +1,121 @@
+"""Threaded host ingest with device prefetch.
+
+TPU-native replacement for the reference's torch DataLoader workers +
+``pin_memory`` (``/root/reference/gloria/datasets/data_module.py:22-30``):
+a thread pool runs the (numpy/cv2, GIL-releasing) per-item pipeline and the
+collate, while a small queue keeps the next batches already transferred to
+device HBM — so the accelerator never waits on the host (double buffering).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Iterator
+
+import numpy as np
+
+
+class PrefetchLoader:
+    """Iterable over device-ready batches.
+
+    dataset:   indexable returning instance dicts
+    collate:   list[instance] → batch dict of numpy arrays
+    to_device: batch dict → device batch (e.g. jax.device_put with sharding);
+               identity when None.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        collate: Callable,
+        batch_size: int,
+        *,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = True,
+        num_workers: int = 8,
+        prefetch: int = 2,
+        to_device: Callable | None = None,
+    ):
+        self.dataset = dataset
+        self.collate = collate
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.prefetch = max(1, prefetch)
+        self.to_device = to_device or (lambda b: b)
+        self.epoch = 0
+        self.sample_weights: np.ndarray | None = None  # for curriculum reweighting
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _epoch_order(self) -> np.ndarray:
+        rng = np.random.RandomState(self.seed + self.epoch)
+        n = len(self.dataset)
+        if self.sample_weights is not None:
+            p = np.asarray(self.sample_weights, np.float64)
+            p = p / p.sum()
+            return rng.choice(n, size=n, replace=True, p=p)
+        order = np.arange(n)
+        if self.shuffle:
+            rng.shuffle(order)
+        return order
+
+    def __iter__(self) -> Iterator[dict]:
+        order = self._epoch_order()
+        self.epoch += 1
+        n_batches = len(self)
+        batch_idxs = [order[i * self.batch_size : (i + 1) * self.batch_size] for i in range(n_batches)]
+
+        out_q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    def build(idxs):
+                        items = list(pool.map(lambda i: self.dataset[int(i)], idxs))
+                        return self.collate(items)
+
+                    pending = []
+                    it = iter(batch_idxs)
+                    # keep `prefetch` collates in flight
+                    inner = ThreadPoolExecutor(self.prefetch)
+                    try:
+                        for _ in range(self.prefetch):
+                            idxs = next(it, None)
+                            if idxs is not None:
+                                pending.append(inner.submit(build, idxs))
+                        while pending:
+                            if stop.is_set():
+                                return
+                            batch = pending.pop(0).result()
+                            idxs = next(it, None)
+                            if idxs is not None:
+                                pending.append(inner.submit(build, idxs))
+                            out_q.put(batch)
+                    finally:
+                        inner.shutdown(wait=False, cancel_futures=True)
+            except Exception as exc:  # surface worker errors to the consumer
+                out_q.put(exc)
+            finally:
+                out_q.put(None)
+
+        thread = threading.Thread(target=produce, daemon=True)
+        thread.start()
+        try:
+            while True:
+                item = out_q.get()
+                if item is None:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                yield self.to_device(item)
+        finally:
+            stop.set()

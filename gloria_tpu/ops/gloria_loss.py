@@ -123,6 +123,7 @@ def local_matching(
     need_diag_attn: bool = True,
     need_flat_attn: bool = False,
     need_sink_mass: bool = False,
+    precision=None,
 ) -> LocalMatch:
     """All-pairs word-region matching.
 
@@ -145,8 +146,11 @@ def local_matching(
     S = ctx.shape[1]
 
     # Region Gram matrix, computed once per image and reused by every caption.
-    gram = jnp.einsum("bsd,bud->bsu", ctx, ctx, preferred_element_type=f32)  # [B, S, S]
-    word_norm = jnp.linalg.norm(words, axis=-1)  # [T, W]
+    gram = jnp.einsum("bsd,bud->bsu", ctx, ctx, preferred_element_type=f32, precision=precision)  # [B, S, S]
+    # safe norm: padded word rows are exactly zero and linalg.norm's backward
+    # is 0/0 there (NaN); sqrt(max(·, tiny)) keeps the cotangent finite while
+    # leaving the forward (masked anyway) unchanged for real words
+    word_norm = jnp.sqrt(jnp.maximum(jnp.sum(words * words, axis=-1), 1e-12))  # [T, W]
 
     if chunk <= 0 or chunk > T:
         chunk = T
@@ -161,15 +165,20 @@ def local_matching(
 
     def chunk_body(words_c, mask_c, norm_c, start):
         # words_c: [C, W, D]; mask_c: [C, W]
-        raw = jnp.einsum("bsd,cwd->cbsw", ctx, words_c, preferred_element_type=f32)
+        raw = jnp.einsum("bsd,cwd->cbsw", ctx, words_c, preferred_element_type=f32, precision=precision)
         a1 = masked_softmax(raw, mask_c[:, None, None, :], axis=-1)
         a2 = jax.nn.softmax(temp1 * jnp.swapaxes(a1, 2, 3), axis=-1)  # [C, B, W, S]
         # cos numerator: word · (attn @ ctx) = Σ_s a2[w,s] raw[s,w]
-        dot = jnp.einsum("cbws,cbsw->cbw", a2, raw, preferred_element_type=f32)
-        # ‖attn @ ctx‖² via the Gram matrix
-        wctx_norm2 = jnp.einsum("cbws,bsu,cbwu->cbw", a2, gram, a2, preferred_element_type=f32)
-        denom = jnp.maximum(norm_c[:, None, :] * jnp.sqrt(wctx_norm2), EPS)
-        row_sim = dot / denom  # [C, B, W]
+        dot = jnp.einsum("cbws,cbsw->cbw", a2, raw, preferred_element_type=f32, precision=precision)
+        # ‖attn @ ctx‖² via the Gram matrix; clamp ≥0 — reduced-precision
+        # matmuls can round tiny values negative, and sqrt(neg) is NaN
+        wctx_norm2 = jnp.einsum("cbws,bsu,cbwu->cbw", a2, gram, a2, preferred_element_type=f32, precision=precision)
+        # clamp strictly above 0: sqrt'(0)=inf would turn the clamp's zero
+        # cotangent into 0*inf=NaN when reduced-precision matmuls round ≤0
+        denom = jnp.maximum(norm_c[:, None, :] * jnp.sqrt(jnp.maximum(wctx_norm2, 1e-12)), EPS)
+        # zero masked positions BEFORE exp: NaN/garbage there would otherwise
+        # poison gradients through where (0 * NaN = NaN in the cotangent)
+        row_sim = jnp.where(mask_c[:, None, :], dot / denom, 0.0)  # [C, B, W]
         e = jnp.where(mask_c[:, None, :], jnp.exp(temp2 * row_sim), 0.0)
         if agg == "sum":
             sims = jnp.log(jnp.maximum(e.sum(-1), EPS))  # [C, B]
@@ -257,6 +266,7 @@ def local_loss(
     attention_divergence_loss_weight: float | None = None,
     attention_entropy_loss_weight: float | None = None,
     chunk: int = 8,
+    precision=None,
 ):
     """Local InfoNCE over the batch similarity matrix + ablation losses.
 
@@ -281,6 +291,7 @@ def local_loss(
         need_diag_attn=True,
         need_flat_attn=need_flat,
         need_sink_mass=no_attn_loss_weight is not None,
+        precision=precision,
     )
     logits = m.similarities * temp3  # [B_img, B_text]
     loss0 = _diag_cross_entropy(logits)       # image -> text
@@ -346,6 +357,7 @@ def local_similarities_eval(
     temp2: float = 5.0,
     sink: jnp.ndarray | None = None,
     chunk: int = 0,
+    precision="highest",
 ) -> jnp.ndarray:
     """Eval-path local similarities [B_img, T_text].
 
@@ -357,7 +369,7 @@ def local_similarities_eval(
     m = local_matching(
         words, img_regions, mask,
         temp1=temp1, temp2=temp2, agg="max", sink=sink, chunk=chunk,
-        need_diag_attn=False,
+        need_diag_attn=False, precision=precision,
     )
     return m.similarities
 

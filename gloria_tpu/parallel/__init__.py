@@ -1,0 +1,1 @@
+from .mesh import batch_sharding, create_mesh, replicate, shard_batch, shard_params

@@ -1,0 +1,153 @@
+"""Checkpointing: hyperparameters-in-ckpt, top-k/last tracking, resume, surgery.
+
+Covers the reference's Lightning checkpoint behavior
+(``/root/reference/run.py:150-152``, ``configs/*.yaml checkpoint_callback``):
+monitor-metric top-k + save_last, config embedded in the checkpoint
+(``save_hyperparameters``, ``pretrain_model.py:17``), warm-start and full
+resume, and the cross-model state surgery the reference does by key rewriting
+(``gloria.py:85-89,172-179``) — here by pytree-path selection.
+
+Format: orbax PyTreeCheckpointer per step directory + a json manifest.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import shutil
+from pathlib import Path
+from typing import Any
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from ..configs import Config
+
+
+def _to_host(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(jax.device_get(x)), tree)
+
+
+class CheckpointManager:
+    def __init__(self, directory: str | Path, monitor: str = "val_loss",
+                 mode: str = "min", save_top_k: int = 10, save_last: bool = True):
+        self.dir = Path(directory)
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self.monitor = monitor
+        self.mode = mode
+        self.save_top_k = save_top_k
+        self.save_last = save_last
+        self._ckpt = ocp.PyTreeCheckpointer()
+        self.manifest_path = self.dir / "manifest.json"
+        self.manifest: dict = {"entries": [], "last": None}
+        if self.manifest_path.exists():
+            self.manifest = json.loads(self.manifest_path.read_text())
+
+    # -- core save/load --------------------------------------------------------
+    def _write(self, name: str, state: Any, cfg: Config | None, extra: dict):
+        path = self.dir / name
+        if path.exists():
+            shutil.rmtree(path)
+        self._ckpt.save(path.resolve(), _to_host(state))
+        meta = {"extra": extra}
+        if cfg is not None:
+            meta["cfg"] = cfg.to_dict()
+        (self.dir / f"{name}.meta.json").write_text(json.dumps(meta))
+
+    def save(self, state: Any, step: int, metrics: dict | None = None,
+             cfg: Config | None = None) -> str:
+        metrics = metrics or {}
+        metric = metrics.get(self.monitor)
+        name = f"step_{step:08d}"
+        self._write(name, state, cfg, {"step": step, "metrics": {k: float(v) for k, v in metrics.items()}})
+        entry = {"name": name, "step": step, "metric": None if metric is None else float(metric)}
+        self.manifest["entries"] = [e for e in self.manifest["entries"] if e["name"] != name] + [entry]
+        if self.save_last:
+            self.manifest["last"] = name
+        self._prune()
+        self.manifest_path.write_text(json.dumps(self.manifest))
+        return str(self.dir / name)
+
+    def _prune(self):
+        scored = [e for e in self.manifest["entries"] if e["metric"] is not None]
+        sign = 1 if self.mode == "min" else -1
+        scored.sort(key=lambda e: sign * e["metric"])
+        keep = {e["name"] for e in scored[: self.save_top_k]}
+        keep |= {e["name"] for e in self.manifest["entries"] if e["metric"] is None}
+        if self.manifest.get("last"):
+            keep.add(self.manifest["last"])
+        for e in list(self.manifest["entries"]):
+            if e["name"] not in keep:
+                shutil.rmtree(self.dir / e["name"], ignore_errors=True)
+                (self.dir / f"{e['name']}.meta.json").unlink(missing_ok=True)
+                self.manifest["entries"].remove(e)
+
+    def best(self) -> str | None:
+        scored = [e for e in self.manifest["entries"] if e["metric"] is not None]
+        if not scored:
+            return self.manifest.get("last") and str(self.dir / self.manifest["last"])
+        sign = 1 if self.mode == "min" else -1
+        best = min(scored, key=lambda e: sign * e["metric"])
+        return str(self.dir / best["name"])
+
+    def last(self) -> str | None:
+        return self.manifest.get("last") and str(self.dir / self.manifest["last"])
+
+    def restore(self, path: str | Path, target: Any = None) -> tuple[Any, Config | None, dict]:
+        path = Path(path)
+        state = self._ckpt.restore(path.resolve(), item=_to_host(target) if target is not None else None)
+        meta_path = path.parent / f"{path.name}.meta.json"
+        cfg, extra = None, {}
+        if meta_path.exists():
+            meta = json.loads(meta_path.read_text())
+            cfg = Config(meta["cfg"]) if "cfg" in meta else None
+            extra = meta.get("extra", {})
+        return state, cfg, extra
+
+
+def save_checkpoint(path: str | Path, state: Any, cfg: Config | None = None) -> None:
+    """One-off checkpoint (no manager bookkeeping)."""
+    path = Path(path)
+    if path.exists():
+        shutil.rmtree(path)
+    ocp.PyTreeCheckpointer().save(path.resolve(), _to_host(state))
+    if cfg is not None:
+        (path.parent / f"{path.name}.meta.json").write_text(json.dumps({"cfg": cfg.to_dict()}))
+
+
+def load_checkpoint(path: str | Path, target: Any = None) -> tuple[Any, Config | None]:
+    path = Path(path)
+    state = ocp.PyTreeCheckpointer().restore(path.resolve(), item=_to_host(target) if target is not None else None)
+    meta_path = path.parent / f"{path.name}.meta.json"
+    cfg = None
+    if meta_path.exists():
+        meta = json.loads(meta_path.read_text())
+        cfg = Config(meta["cfg"]) if "cfg" in meta else None
+    return state, cfg
+
+
+# ---------------------------------------------------------------------------
+# Cross-model surgery (reference key-rewrite equivalents)
+# ---------------------------------------------------------------------------
+
+def extract_subtree(variables: dict, path: tuple[str, ...]) -> Any:
+    """E.g. extract_subtree(vars, ('params', 'img_encoder')) — the equivalent
+    of the reference's ``gloria.img_encoder.model``-prefix selection."""
+    node = variables
+    for key in path:
+        node = node[key]
+    return node
+
+
+def graft_subtree(variables: dict, path: tuple[str, ...], subtree: Any) -> dict:
+    """Return a copy of ``variables`` with ``subtree`` placed at ``path``
+    (encoder transplant into classifiers/U-Net, reference gloria.py:172-179)."""
+    import copy
+
+    out = copy.deepcopy(jax.tree_util.tree_map(lambda x: x, variables))
+    node = out
+    for key in path[:-1]:
+        node = node[key]
+    node[path[-1]] = subtree
+    return out

@@ -1,0 +1,126 @@
+"""Public API end-to-end: similarities, zero-shot, checkpoint round-trip."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from gloria_tpu import api
+from gloria_tpu.configs import Config
+from gloria_tpu.data.pretraining_dataset import SyntheticPretrainingDataset
+from gloria_tpu.data.tokenizer import WordPieceTokenizer
+from gloria_tpu.models import GLoRIA
+
+
+def tiny_model_cfg():
+    return Config({
+        "model": {
+            "gloria": {"temp1": 4.0, "temp2": 5.0, "temp3": 10.0,
+                        "local_loss_weight": 1.0, "global_loss_weight": 1.0},
+            "vision": {"model_name": "resnet_18"},
+            "text": {"embedding_dim": 32, "last_n_layers": 4, "agg_tokens": True,
+                      "aggregate_method": "sum",
+                      "bert_config": {"vocab_size": 256, "hidden_size": 32, "num_layers": 2,
+                                       "num_heads": 4, "intermediate_size": 64,
+                                       "max_position_embeddings": 48}},
+        },
+        "data": {"image": {"imsize": 64}, "text": {"word_num": 24}},
+        "transforms": {"norm": "half", "random_crop": {"crop_size": 48}},
+    })
+
+
+@pytest.fixture(scope="module")
+def gm():
+    cfg = tiny_model_cfg()
+    ds = SyntheticPretrainingDataset(size=32, imsize=64)
+    tok = WordPieceTokenizer.from_corpus(ds.corpus() + ["atelectasis cardiomegaly edema effusion"])
+    # cap vocab ids under bert vocab_size
+    assert tok.vocab_size <= 256
+    model = GLoRIA(cfg)
+    txt = api.TextProcessor(tok, num_words=24)(["mild edema at the left lung base"])
+    batch = {
+        "imgs": np.random.RandomState(0).randn(1, 64, 64, 3).astype(np.float32),
+        "caption_ids": txt["caption_ids"],
+        "attention_mask": txt["attention_mask"],
+        "token_type_ids": txt["token_type_ids"],
+        "word_assignment": txt["word_assignment"],
+    }
+    variables = model.init(jax.random.PRNGKey(0), {k: np.asarray(v) for k, v in batch.items()})
+    return api.GloriaModel(cfg, variables, tokenizer=tok)
+
+
+def test_process_and_similarities(gm):
+    imgs = gm.process_img([
+        (np.random.RandomState(1).rand(90, 70) * 255).astype(np.uint8),
+        (np.random.RandomState(2).rand(70, 90) * 255).astype(np.uint8),
+    ])
+    assert imgs.shape == (2, 48, 48, 3)
+    txts = gm.process_text(["mild edema at the left lung base", "no finding", "severe pneumothorax bilaterally"])
+    sims = gm.get_similarities(imgs, txts, similarity_type="both")
+    assert sims.shape == (2, 3)
+    assert np.isfinite(sims).all()
+    g = gm.get_similarities(imgs, txts, "global")
+    l = gm.get_similarities(imgs, txts, "local")
+    np.testing.assert_allclose(sims, (g + l) / 2, rtol=1e-5)
+    with pytest.raises(RuntimeError):
+        gm.get_similarities(imgs, ["raw text"], "both")
+    with pytest.raises(RuntimeError):
+        gm.get_similarities(imgs, txts, "bogus")
+
+
+def test_zero_shot_classification(gm):
+    imgs = gm.process_img([(np.random.RandomState(i).rand(80, 80) * 255).astype(np.uint8) for i in range(3)])
+    mapping = gm.process_class_prompts({
+        "Edema": ["mild edema at the left lung base", "moderate edema bilaterally"],
+        "No Finding": ["no finding"],
+    })
+    df = gm.zero_shot_classification(imgs, mapping)
+    assert list(df.columns) == ["Edema", "No Finding"]
+    assert df.shape == (3, 2)
+    # z-normalized across images per class
+    np.testing.assert_allclose(df.to_numpy().mean(axis=0), 0.0, atol=1e-4)
+
+
+def test_attn_maps(gm):
+    imgs = gm.process_img([(np.random.RandomState(7).rand(64, 64) * 255).astype(np.uint8)])
+    txts = gm.process_text(["trace effusion at the right lung base"])
+    img_l, img_g, txt_l, txt_g = gm.encode(imgs, txts)
+    attn = gm.get_attn_maps(img_l, txt_l, txts["cap_lens"])
+    assert attn.shape[0] == 1 and attn.shape[2] == img_l.shape[1]
+    np.testing.assert_allclose(np.asarray(attn[0, 0]).sum(), 1.0, rtol=1e-4)
+
+
+def test_prompt_grammar():
+    prompts = api.generate_chexpert_class_prompts(n=5)
+    assert set(prompts) == {"Atelectasis", "Cardiomegaly", "Consolidation", "Edema", "Pleural Effusion"}
+    assert all(len(v) == 5 for v in prompts.values())
+    assert all(isinstance(p, str) and p for v in prompts.values() for p in v)
+
+
+def test_checkpoint_roundtrip(gm, tmp_path):
+    from gloria_tpu.training.checkpoints import save_checkpoint
+
+    ckpt = tmp_path / "ckpt_dir"
+    save_checkpoint(ckpt, gm.variables, cfg=gm.cfg)
+    loaded = api.load_gloria(str(ckpt), tokenizer=gm.tokenizer)
+    imgs = gm.process_img([(np.random.RandomState(3).rand(64, 64) * 255).astype(np.uint8)])
+    txts = gm.process_text(["no finding", "mild edema"])
+    np.testing.assert_allclose(
+        loaded.get_similarities(imgs, txts), gm.get_similarities(imgs, txts), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_checkpoint_manager(tmp_path):
+    from gloria_tpu.training.checkpoints import CheckpointManager
+
+    mgr = CheckpointManager(tmp_path / "ckpts", monitor="val_loss", save_top_k=2)
+    state = {"w": np.ones(3)}
+    for step, loss in [(1, 5.0), (2, 3.0), (3, 4.0), (4, 2.0)]:
+        mgr.save({"w": np.ones(3) * step}, step, {"val_loss": loss})
+    assert mgr.best().endswith("step_00000004")
+    assert mgr.last().endswith("step_00000004")
+    names = {e["name"] for e in mgr.manifest["entries"]}
+    assert names == {"step_00000002", "step_00000004"}  # top-2 by val_loss
+    restored, cfg, extra = mgr.restore(mgr.best(), target=state)
+    np.testing.assert_array_equal(restored["w"], np.ones(3) * 4)
+    assert extra["metrics"]["val_loss"] == 2.0

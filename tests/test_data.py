@@ -1,0 +1,124 @@
+"""Host data-plane tests: letterbox parity, cleanup parity, tokenizer, collate, loader."""
+
+import numpy as np
+import pytest
+
+from gloria_tpu.configs import Config
+from gloria_tpu.data.collate import GloriaCollate, bbox_to_mask, device_batch, mask_to_bbox
+from gloria_tpu.data.loader import PrefetchLoader
+from gloria_tpu.data.pretraining_dataset import SyntheticPretrainingDataset, iterate_batches
+from gloria_tpu.data.tokenizer import TextProcessor, WordPieceTokenizer, clean_report
+from gloria_tpu.data.transforms import build_transformation, letterbox_resize, normalize
+
+
+def data_cfg(imsize=64, crop=48, word_num=24):
+    return Config({
+        "data": {"image": {"imsize": imsize}, "text": {"word_num": word_num}},
+        "transforms": {"norm": "half", "random_crop": {"crop_size": crop}},
+    })
+
+
+def test_letterbox_matches_reference_semantics():
+    # tall image: height scaled to `scale`, width padded centered
+    img = (np.arange(30 * 20, dtype=np.uint8).reshape(30, 20)) % 255
+    out = letterbox_resize(img, 16)
+    assert out.shape == (16, 16)
+    # width after resize = int(20 * 16/30) = 10 → pad 3 left (floor), 3 right (ceil)
+    assert (out[:, :3] == 0).all() and (out[:, 13:] == 0).all()
+    assert out[:, 3:13].any()
+    # wide image: width fixed, height padded
+    out2 = letterbox_resize(img.T, 16)
+    assert (out2[:3] == 0).all() and (out2[13:] == 0).all()
+
+
+def test_clean_report_reference_rules():
+    text = "1. Mild cardiomegaly.  2. No\npneumothorax seen. Ok. 3.Effusion at left base"
+    got = clean_report(text)
+    # numbered-split + period-split; ≤1-token sentences ("Ok") dropped; lowercased
+    assert got == "mild cardiomegaly no pneumothorax seen effusion at left base"
+    assert clean_report("single") == ""
+    assert clean_report("café au lait") == "caf au lait"  # ascii filter
+
+
+def test_wordpiece_greedy_longest_match():
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+             "pneum", "##otho", "##rax", "##o", "no", "finding", "the"]
+    tok = WordPieceTokenizer(vocab)
+    assert tok.tokenize("pneumothorax") == ["pneum", "##otho", "##rax"]
+    assert tok.tokenize("zzz") == ["[UNK]"]
+    enc = tok.encode("no finding", max_length=8)
+    assert enc["tokens"][:4] == ["[CLS]", "no", "finding", "[SEP]"]
+    assert enc["attention_mask"].sum() == 4
+    assert enc["input_ids"][4] == tok.pad_id
+
+
+def test_text_processor_batch():
+    ds = SyntheticPretrainingDataset(size=16)
+    tok = WordPieceTokenizer.from_corpus(ds.corpus())
+    tp = TextProcessor(tok, num_words=24)
+    out = tp(["Mild edema at the left lung base.", "No finding."])
+    assert out["caption_ids"].shape == (2, 24)
+    assert out["word_assignment"].shape == (2, 24, 24)
+    assert out["cap_lens"][0] > out["cap_lens"][1] >= 3
+    assert out["words"][1][0] == "[CLS]"
+
+
+def test_collate_shapes_and_sorting():
+    ds = SyntheticPretrainingDataset(size=8, imsize=80)
+    tok = WordPieceTokenizer.from_corpus(ds.corpus())
+    cfg = data_cfg()
+    coll = GloriaCollate(cfg, "train", tok, seed=0)
+    batch = coll([ds[i] for i in range(4)])
+    assert batch["imgs"].shape == (4, 48, 48, 3)
+    assert batch["caption_ids"].shape == (4, 24)
+    lens = batch["cap_lens"]
+    assert (np.diff(lens) <= 0).all()  # sorted desc
+    assert batch["segmentation_labels"].shape == (4, 48, 48)
+    dev = device_batch(batch)
+    assert all(not k.startswith("_") for k in dev)
+    # eval split: deterministic center crop
+    coll_t = GloriaCollate(cfg, "test", tok)
+    b1 = coll_t([ds[0]])
+    b2 = coll_t([ds[0]])
+    np.testing.assert_array_equal(b1["imgs"], b2["imgs"])
+
+
+def test_bbox_mask_roundtrip():
+    m = bbox_to_mask([3, 5, 10, 12], (20, 20))
+    assert m.sum() == 7 * 7
+    assert mask_to_bbox(m) == [3.0, 5.0, 10.0, 12.0]
+    assert mask_to_bbox(np.zeros((4, 4))) is None
+
+
+def test_prefetch_loader_full_epoch():
+    ds = SyntheticPretrainingDataset(size=20, imsize=64)
+    tok = WordPieceTokenizer.from_corpus(ds.corpus())
+    coll = GloriaCollate(data_cfg(), "train", tok, seed=0)
+    loader = PrefetchLoader(ds, coll, batch_size=4, num_workers=2, prefetch=2, seed=1)
+    batches = list(loader)
+    assert len(batches) == 5
+    assert all(b["imgs"].shape == (4, 48, 48, 3) for b in batches)
+    # weighted sampling path (curriculum reweighting hook)
+    loader.sample_weights = np.linspace(0.1, 1.0, 20)
+    batches = list(loader)
+    assert len(batches) == 5
+
+
+def test_loader_propagates_worker_errors():
+    class Bad:
+        def __len__(self):
+            return 8
+        def __getitem__(self, i):
+            raise RuntimeError("boom")
+
+    loader = PrefetchLoader(Bad(), lambda x: x, batch_size=2, num_workers=2)
+    with pytest.raises(RuntimeError, match="boom"):
+        list(loader)
+
+
+def test_normalize_modes():
+    img = np.full((4, 4, 3), 255, np.uint8)
+    np.testing.assert_allclose(normalize(img, "half"), 1.0)
+    np.testing.assert_allclose(normalize(img, None), 1.0)
+    out = normalize(img, "imagenet")
+    assert out.shape == (4, 4, 3) and out[0, 0, 0] != out[0, 0, 2]

@@ -140,3 +140,19 @@ def test_local_loss_grads_finite():
     # padded/masked word positions must receive zero gradient
     for i in range(len(cap_lens)):
         assert np.abs(np.asarray(g_w)[i, int(cap_lens[i]):]).max() == 0.0
+
+
+def test_grads_finite_with_zero_padded_word_rows():
+    # real batches have exactly-zero embeddings at padded word positions
+    # (segment aggregation emits zero rows); backward must stay finite
+    regions, words, cap_lens = make_inputs(seed=11)
+    for i, L in enumerate(cap_lens):
+        words[i, int(L):] = 0.0
+
+    def f(r, w):
+        l0, l1, *_ = gl.local_loss(r, w, jnp.asarray(cap_lens), chunk=4)
+        return l0 + l1
+
+    g_r, g_w = jax.grad(f, argnums=(0, 1))(jnp.asarray(regions), jnp.asarray(words))
+    assert np.isfinite(np.asarray(g_r)).all()
+    assert np.isfinite(np.asarray(g_w)).all()
