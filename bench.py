@@ -24,11 +24,12 @@ import sys
 import time
 
 
-# Full-config train-step throughput on this image's CPU (measured via
-# `JAX_PLATFORMS=cpu python bench.py --cpu-baseline`); the reference torch
+# Full-config train-step throughput on this image's CPU (measured 2026-08-16
+# via `python bench.py --cpu-baseline`: 0.077 pairs/sec); the reference torch
 # pipeline has no published numbers (BASELINE.md), so the north-star ratio is
-# computed against this CPU run of the identical program.
-CPU_BASELINE_PAIRS_PER_SEC = 2.92
+# computed against this CPU run of the identical program.  The TPU v5e run of
+# the same build measured 3756 pairs/sec (BENCH_r1).
+CPU_BASELINE_PAIRS_PER_SEC = 0.077
 
 
 def build(smoke: bool):

@@ -94,19 +94,19 @@ class ResNet(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, return_features: bool = False):
         conv = partial(nn.Conv, dtype=self.dtype, param_dtype=jnp.float32)
         norm = partial(
             nn.BatchNorm, use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, param_dtype=jnp.float32,
         )
+        features = {"input": x}
         x = x.astype(self.dtype)
         x = conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)], use_bias=False, name="conv1")(x)
         x = norm(name="bn1")(x)
         x = nn.relu(x)
+        features["stem"] = x  # post-relu, pre-maxpool (U-Net skip)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
-
-        features = {}
         planes = 64
         for stage_idx, num_blocks in enumerate(self.layers):
             stride = 1 if stage_idx == 0 else 2
@@ -127,6 +127,8 @@ class ResNet(nn.Module):
             planes *= 2
 
         pooled = jnp.mean(features["layer4"], axis=(1, 2)).astype(jnp.float32)  # AdaptiveAvgPool2d(1)
+        if return_features:
+            return pooled, features
         return pooled, features["layer3"].astype(jnp.float32)
 
 

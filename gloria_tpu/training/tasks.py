@@ -1,0 +1,160 @@
+"""Downstream task programs: classification and segmentation.
+
+Equivalents of the reference Lightning modules
+(``/root/reference/gloria/lightning/classification_model.py`` and
+``segmentation_model.py``) as jitted step functions + host epoch metrics:
+
+- classification: (pretrained-encoder) linear probe / finetune, BCE loss,
+  epoch-end mean per-class AUROC/AUPRC, test results json;
+- segmentation: ResNet-U-Net, Dice/Focal/Mixed loss, dice metric with the
+  reference's empty-mask convention.
+
+Encoder transplant from a GLoRIA checkpoint happens by pytree grafting
+(see ``builders`` below), replacing the reference's state-dict key rewrites.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..configs import Config
+from ..models.unet import ResnetUNet
+from ..models.vision_model import ImageClassifier, PretrainedImageClassifier
+from ..ops import segmentation_loss as segloss
+from . import metrics as M
+from .train import TrainState, create_train_state
+
+
+def build_loss(cfg: Config) -> Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]:
+    """cfg.train.loss_fn → loss callable (reference builder.build_loss,
+    ``gloria/builder.py:140-156``)."""
+    lf = (cfg.train.loss_fn or Config()) if cfg.train else Config()
+    kind = lf.type or "BCE"
+    if kind == "DiceLoss":
+        return segloss.dice_loss
+    if kind == "FocalLoss":
+        return segloss.focal_loss
+    if kind == "MixedLoss":
+        alpha = float(lf.alpha or 10.0)
+        return lambda logit, y: segloss.mixed_loss(logit, y, alpha=alpha)
+    if kind == "BCE":
+        pos_weight = jnp.asarray(lf.class_weights, jnp.float32) if lf.class_weights else None
+        return lambda logit, y: segloss.bce_with_logits(logit, y, pos_weight)
+    raise NotImplementedError(f"{kind} not implemented yet")
+
+
+class SupervisedTask:
+    """Shared machinery: jitted train/eval steps over (imgs, labels)."""
+
+    def __init__(self, model, loss_fn: Callable, tx: optax.GradientTransformation):
+        self.model = model
+        self.loss_fn = loss_fn
+        self.tx = tx
+        self.train_step = jax.jit(self._train_step, donate_argnums=(0,))
+        self.eval_step = jax.jit(self._eval_step)
+
+    def init_state(self, example_batch: dict, seed: int = 0) -> TrainState:
+        variables = self.model.init(jax.random.PRNGKey(seed), jnp.asarray(example_batch["imgs"]))
+        return create_train_state(self.model, variables, self.tx, jax.random.PRNGKey(seed + 1))
+
+    def _apply(self, params, batch_stats, imgs, train: bool):
+        variables = {"params": params}
+        if batch_stats is not None:
+            variables["batch_stats"] = batch_stats
+        if train:
+            return self.model.apply(variables, imgs, train=True, mutable=["batch_stats"])
+        return self.model.apply(variables, imgs, train=False), {"batch_stats": batch_stats}
+
+    def _train_step(self, state: TrainState, batch: dict):
+        def loss_fn(params):
+            logits, muts = self._apply(params, state.batch_stats, batch["imgs"], True)
+            return self.loss_fn(jnp.squeeze(logits), jnp.squeeze(batch["labels"])), (logits, muts)
+
+        (loss, (logits, muts)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=optax.apply_updates(state.params, updates),
+            batch_stats=muts["batch_stats"],
+            opt_state=new_opt,
+        )
+        return new_state, {"loss": loss, "logits": logits}
+
+    def _eval_step(self, state: TrainState, batch: dict):
+        logits, _ = self._apply(state.params, state.batch_stats, batch["imgs"], False)
+        loss = self.loss_fn(jnp.squeeze(logits), jnp.squeeze(batch["labels"]))
+        return {"loss": loss, "logits": logits}
+
+
+class ClassificationTask(SupervisedTask):
+    """Reference ``ClassificationModel``: BCE + epoch AUROC/AUPRC."""
+
+    @staticmethod
+    def build_model(cfg: Config, gloria_variables: dict | None = None):
+        """Returns (model, init_variables_patch). With a pretrained GLoRIA,
+        the full ``img_encoder`` subtree is transplanted
+        (reference ``load_img_classification_model``, gloria.py:97-133)."""
+        num_cls = int(cfg.model.vision.num_targets or 1)
+        name = cfg.model.vision.model_name or "resnet_50"
+        if gloria_variables is not None:
+            model = PretrainedImageClassifier(model_name=name, num_classes=num_cls)
+            patch = {
+                "params": {"img_encoder": gloria_variables["params"]["img_encoder"]},
+                "batch_stats": {"img_encoder": gloria_variables["batch_stats"]["img_encoder"]},
+            }
+            return model, patch
+        return ImageClassifier(model_name=name, num_classes=num_cls), None
+
+    def epoch_metrics(self, logits: np.ndarray, labels: np.ndarray) -> dict:
+        prob = jax.nn.sigmoid(jnp.asarray(logits))
+        labels = np.asarray(labels)
+        if labels.ndim == 1:
+            labels = labels[:, None]
+            prob = np.asarray(prob).reshape(-1, 1)
+        return M.classification_metrics(labels, np.asarray(prob))
+
+    @staticmethod
+    def write_results(cfg: Config, results: dict):
+        if cfg.output_dir:
+            with open(os.path.join(cfg.output_dir, "results.csv"), "w") as fp:
+                json.dump(results, fp)
+
+
+class SegmentationTask(SupervisedTask):
+    """Reference ``SegmentationModel``: U-Net + Mixed loss + dice metric."""
+
+    @staticmethod
+    def build_model(cfg: Config, gloria_variables: dict | None = None):
+        name = cfg.model.vision.model_name or "resnet_50"
+        if name.startswith("gloria_"):
+            name = {"gloria_resnet50": "resnet_50", "gloria_resnet18": "resnet_18"}[name]
+        model = ResnetUNet(model_name=name, n_classes=1)
+        patch = None
+        if gloria_variables is not None:
+            patch = {
+                "params": {"backbone": gloria_variables["params"]["img_encoder"]["backbone"]},
+                "batch_stats": {"backbone": gloria_variables["batch_stats"]["img_encoder"]["backbone"]},
+            }
+        return model, patch
+
+    def epoch_metrics(self, logits: np.ndarray, labels: np.ndarray) -> dict:
+        prob = np.asarray(jax.nn.sigmoid(jnp.asarray(logits))).squeeze(-1) if logits.ndim == 4 else np.asarray(jax.nn.sigmoid(jnp.asarray(logits)))
+        return {"dice": M.dice_score(prob, np.asarray(labels))}
+
+
+def graft_pretrained(variables: dict, patch: dict | None) -> dict:
+    """Overlay a pretrained-subtree patch onto freshly-initialized variables."""
+    if patch is None:
+        return variables
+    out = jax.tree_util.tree_map(lambda x: x, variables)
+    for collection, sub in patch.items():
+        for key, subtree in sub.items():
+            out[collection][key] = subtree
+    return out

@@ -50,10 +50,12 @@ def create_train_state(
 
 def make_pretrain_steps(
     model: GLoRIA, tx: optax.GradientTransformation, *, loss_chunk: int = 8,
-    donate: bool = True,
+    donate: bool = True, return_attn: bool = False,
 ) -> tuple[Callable, Callable]:
     """Returns (train_step(state, batch) -> (state, metrics),
-                eval_step(state, batch) -> (metrics, attn))."""
+                eval_step(state, batch) -> metrics).  Metrics include the
+    diagonal attention maps under "_attn" (always for eval; for train only
+    when ``return_attn`` — the localization callbacks consume them)."""
 
     def loss_from_outputs(params, state, batch, outs):
         img_l, img_g, txt_l, txt_g, grid = outs
@@ -74,7 +76,9 @@ def make_pretrain_steps(
                 batch, train=True,
                 mutable=["batch_stats"], rngs={"dropout": rng},
             )
-            loss, metrics, _ = loss_from_outputs(params, state, batch, outs)
+            loss, metrics, attn = loss_from_outputs(params, state, batch, outs)
+            if return_attn:
+                metrics["_attn"] = jax.lax.stop_gradient(attn)
             return loss, (metrics, muts["batch_stats"])
 
         (loss, (metrics, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
@@ -91,7 +95,9 @@ def make_pretrain_steps(
     def eval_step(state: TrainState, batch: dict):
         outs = model.apply(state.variables(), batch, train=False)
         loss, metrics, attn = loss_from_outputs(state.params, state, batch, outs)
-        return metrics, attn
+        metrics = dict(metrics)
+        metrics["_attn"] = attn
+        return metrics
 
     jit_train = jax.jit(train_step, donate_argnums=(0,) if donate else ())
     jit_eval = jax.jit(eval_step)

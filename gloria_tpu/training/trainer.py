@@ -1,0 +1,180 @@
+"""Training orchestration: the Lightning-Trainer equivalent.
+
+Drives the jitted step functions over epochs with validation, LR scheduling
+(incl. metric-driven plateau), early stopping, top-k checkpointing, metric
+logging, and callback hooks — the behavior wired up in the reference's
+``run.py:136-197`` (ModelCheckpoint / EarlyStopping / LearningRateMonitor /
+EvaluateLocalization / WeightInstancesByLocalization + ``Trainer.fit``).
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Iterable
+
+import jax
+import numpy as np
+
+from ..configs import Config
+from ..utils.logging import MetricLogger
+from . import optim
+from .checkpoints import CheckpointManager
+from .train import TrainState
+
+
+def _device_only(batch: dict) -> dict:
+    """Strip host-only keys (leading underscore) before jitted steps; the
+    full batch (with _ids/_words/...) still reaches the callbacks."""
+    if isinstance(batch, dict):
+        return {k: v for k, v in batch.items() if not k.startswith("_")}
+    return batch
+
+
+class Callback:
+    """Hook surface (subset of Lightning's, the parts the reference uses)."""
+
+    def on_train_batch_end(self, trainer, state, metrics, batch, batch_idx): ...
+    def on_validation_batch_end(self, trainer, state, metrics, batch, batch_idx): ...
+    def on_test_batch_end(self, trainer, state, metrics, batch, batch_idx): ...
+    def on_epoch_end(self, trainer, state, split, epoch_metrics): ...
+
+
+@dataclass
+class EarlyStopping:
+    monitor: str = "val_loss"
+    patience: int = 10
+    min_delta: float = 0.0
+    mode: str = "min"
+    best: float = field(default=math.inf)
+    bad_epochs: int = 0
+    stopped: bool = False
+
+    def __post_init__(self):
+        if self.mode == "max":
+            self.best = -math.inf
+
+    def step(self, value: float) -> bool:
+        improved = (value < self.best - self.min_delta) if self.mode == "min" else (value > self.best + self.min_delta)
+        if improved:
+            self.best = value
+            self.bad_epochs = 0
+        else:
+            self.bad_epochs += 1
+            if self.bad_epochs >= self.patience:
+                self.stopped = True
+        return self.stopped
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: Config,
+        train_step: Callable,
+        eval_step: Callable | None = None,
+        *,
+        callbacks: list[Callback] | None = None,
+        logger: MetricLogger | None = None,
+        checkpoints: CheckpointManager | None = None,
+        metric_extractor: Callable[[dict], dict] | None = None,
+    ):
+        self.cfg = cfg
+        self.train_step = train_step
+        self.eval_step = eval_step
+        self.callbacks = callbacks or []
+        lightning = cfg.lightning or Config()
+        trainer_cfg = lightning.trainer or Config()
+        self.max_epochs = int(trainer_cfg.max_epochs or 1)
+        self.logger = logger or MetricLogger(cfg.output_dir)
+        self.checkpoints = checkpoints
+        self.scheduler = optim.make_scheduler(cfg)
+        es_cfg = lightning.early_stopping_callback
+        self.early_stopping = (
+            EarlyStopping(
+                monitor=es_cfg.monitor or "val_loss",
+                patience=int(es_cfg.patience or 10),
+                min_delta=float(es_cfg.min_delta or 0.0),
+                mode=es_cfg.mode or "min",
+            )
+            if es_cfg
+            else None
+        )
+        self.metric_extractor = metric_extractor or (lambda m: {})
+        self.global_step = 0
+
+    # -- loops -----------------------------------------------------------------
+    def _run_eval(self, state: TrainState, loader: Iterable, split: str) -> dict:
+        if self.eval_step is None:
+            return {}
+        sums: dict[str, float] = {}
+        count = 0
+        collected: list[dict] = []
+        for batch_idx, batch in enumerate(loader):
+            out = self.eval_step(state, _device_only(batch))
+            metrics = out[0] if isinstance(out, tuple) else out
+            host = {k: np.asarray(jax.device_get(v)) for k, v in metrics.items()}
+            collected.append(host)
+            for k, v in host.items():
+                if np.ndim(v) == 0:
+                    sums[k] = sums.get(k, 0.0) + float(v)
+            count += 1
+            for cb in self.callbacks:
+                hook = cb.on_validation_batch_end if split == "val" else cb.on_test_batch_end
+                hook(self, state, host, batch, batch_idx)
+        epoch_metrics = {f"{split}_{k}": v / max(count, 1) for k, v in sums.items()}
+        epoch_metrics.update(self.metric_extractor(collected))
+        return epoch_metrics
+
+    def fit(self, state: TrainState, train_loader: Iterable, val_loader: Iterable | None = None) -> TrainState:
+        for epoch in range(self.max_epochs):
+            t0 = time.time()
+            n = 0
+            loss_sum = 0.0
+            for batch_idx, batch in enumerate(train_loader):
+                state, metrics = self.train_step(state, _device_only(batch))
+                self.global_step += 1
+                n += 1
+                loss_sum += float(metrics["loss"])
+                for cb in self.callbacks:
+                    cb.on_train_batch_end(self, state, metrics, batch, batch_idx)
+                update_interval = int(self.cfg.train.update_interval or 100) if self.cfg.train else 100
+                if batch_idx % update_interval == 0:
+                    host = {k: float(jax.device_get(v)) for k, v in metrics.items() if np.ndim(v) == 0}
+                    host["lr"] = self.scheduler.current_lr
+                    self.logger.log(host, self.global_step, "train")
+
+            epoch_metrics = {"train_loss": loss_sum / max(n, 1), "epoch_time": time.time() - t0}
+            if val_loader is not None:
+                epoch_metrics.update(self._run_eval(state, val_loader, "val"))
+            for cb in self.callbacks:
+                cb.on_epoch_end(self, state, "train", epoch_metrics)
+            self.logger.log(epoch_metrics, self.global_step, "epoch")
+
+            monitor = self.scheduler and self.cfg.train and self.cfg.train.scheduler and self.cfg.train.scheduler.monitor
+            metric_val = epoch_metrics.get(monitor or "val_loss")
+            new_lr = self.scheduler.step(metric_val)
+            state = state.replace(opt_state=optim.set_learning_rate(state.opt_state, new_lr))
+
+            if self.checkpoints is not None:
+                self.checkpoints.save(
+                    {"params": state.params, "batch_stats": state.batch_stats},
+                    step=self.global_step, metrics=epoch_metrics, cfg=self.cfg,
+                )
+            if self.early_stopping is not None:
+                v = epoch_metrics.get(self.early_stopping.monitor)
+                if v is not None and self.early_stopping.step(float(v)):
+                    break
+        return state
+
+    def validate(self, state: TrainState, loader: Iterable) -> dict:
+        m = self._run_eval(state, loader, "val")
+        self.logger.log(m, self.global_step, "val")
+        return m
+
+    def test(self, state: TrainState, loader: Iterable) -> dict:
+        m = self._run_eval(state, loader, "test")
+        self.logger.log(m, self.global_step, "test")
+        for cb in self.callbacks:
+            cb.on_epoch_end(self, state, "test", m)
+        return m

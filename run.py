@@ -1,0 +1,218 @@
+"""Experiment driver: config + CLI overrides → train / validate / test.
+
+Equivalent of the reference ``run.py`` (``/root/reference/run.py:26-292``):
+loads a YAML config, applies CLI ablation overrides, seeds, builds the data
+module + task + trainer, runs the requested phase(s), and saves the resolved
+config and best-checkpoint paths to the output directory.
+
+    python run.py -c configs/chexpert_pretrain_config.yaml --train
+    python run.py -c configs/imagenome_pretrain_val_config.yaml --test \
+        --ckpt <ckpt-dir>
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import os
+from pathlib import Path
+
+import numpy as np
+
+
+def get_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="gloria_tpu experiment driver")
+    p.add_argument("-c", "--config", required=True)
+    p.add_argument("--train", action="store_true")
+    p.add_argument("--val", action="store_true")
+    p.add_argument("--test", action="store_true")
+    p.add_argument("--ckpt", default=None, help="checkpoint dir to load/resume")
+    p.add_argument("--resume", action="store_true", help="resume optimizer state from --ckpt")
+    p.add_argument("--random_seed", type=int, default=None)
+    p.add_argument("--train_pct", type=float, default=None)
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--max_epochs", type=int, default=None)
+    p.add_argument("--output_dir", default=None)
+    # ablation flags (reference run.py:102-115)
+    p.add_argument("--randomize_reports", action="store_true")
+    p.add_argument("--randomize_objects_mode", default=None,
+                   choices=["random_bboxes", "random_sentences", "shuffle"])
+    p.add_argument("--swap_left_right", action="store_true")
+    p.add_argument("--swap_conditions", action="store_true")
+    p.add_argument("--generate_sent", action="store_true")
+    p.add_argument("--mask_mode", default=None, choices=["word", "sentence", "entity", "clinical_entity"])
+    p.add_argument("--mask_prob", type=float, default=None)
+    p.add_argument("--no_attn_vec", action="store_true")
+    p.add_argument("--no_attn_loss_weight", type=float, default=None)
+    p.add_argument("--attention_divergence_loss_weight", type=float, default=None)
+    p.add_argument("--attention_entropy_loss_weight", type=float, default=None)
+    p.add_argument("--segmentation_loss_weight", type=float, default=None)
+    p.add_argument("--limit_batches", type=int, default=None, help="cap batches/epoch (debug)")
+    p.add_argument("--fsdp", type=int, default=1)
+    return p
+
+
+def apply_overrides(cfg, args) -> None:
+    if args.random_seed is not None:
+        cfg.random_seed = args.random_seed
+    if args.batch_size is not None:
+        cfg.set_path("train.batch_size", args.batch_size)
+    if args.max_epochs is not None:
+        cfg.set_path("lightning.trainer.max_epochs", args.max_epochs)
+    if args.train_pct is not None:
+        cfg.set_path("data.frac", args.train_pct)
+    if args.randomize_reports:
+        cfg.set_path("data.randomize_reports", True)
+    if args.randomize_objects_mode:
+        cfg.set_path("data.randomize_objects_mode", args.randomize_objects_mode)
+    if args.swap_left_right:
+        cfg.set_path("data.swap_left_right", True)
+    if args.swap_conditions:
+        cfg.set_path("data.swap_conditions", True)
+    if args.generate_sent:
+        cfg.set_path("data.generate_sent", True)
+    if args.mask_mode:
+        cfg.set_path("data.mask_mode", args.mask_mode)
+    if args.mask_prob is not None:
+        cfg.set_path("data.mask_prob", args.mask_prob)
+    if args.no_attn_vec:
+        cfg.set_path("model.gloria.no_attn_vec", True)
+    for key in ("no_attn_loss_weight", "attention_divergence_loss_weight",
+                "attention_entropy_loss_weight", "segmentation_loss_weight"):
+        value = getattr(args, key)
+        if value is not None:
+            cfg.set_path(f"model.gloria.{key}", value)
+
+
+def main(cfg, args) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from gloria_tpu import builder
+    from gloria_tpu.data import device_batch
+    from gloria_tpu.data.data_module import build_data_module
+    from gloria_tpu.parallel import create_mesh, replicate, shard_batch, shard_params
+    from gloria_tpu.training import optim
+    from gloria_tpu.training.checkpoints import CheckpointManager, load_checkpoint
+    from gloria_tpu.training.tasks import ClassificationTask, SegmentationTask, build_loss, graft_pretrained
+    from gloria_tpu.training.trainer import Trainer
+    from gloria_tpu.utils.logging import MetricLogger
+
+    phase = (cfg.phase or "pretrain").lower()
+    mesh = create_mesh(fsdp=max(1, args.fsdp)) if jax.device_count() > 1 else None
+
+    def to_device(batch):
+        b = {k: jnp.asarray(v) for k, v in device_batch(batch).items()}
+        if mesh is not None:
+            b = shard_batch(b, mesh)
+        b.update({k: v for k, v in batch.items() if k.startswith("_")})
+        return b
+
+    dm = build_data_module(cfg, to_device=to_device)
+    ckpt_cfg = (cfg.lightning.checkpoint_callback if cfg.lightning else None) or {}
+    manager = CheckpointManager(
+        Path(cfg.output_dir) / "ckpt",
+        monitor=ckpt_cfg.get("monitor", "val_loss"),
+        mode=ckpt_cfg.get("mode", "min"),
+        save_top_k=int(ckpt_cfg.get("save_top_k", 1)),
+        save_last=bool(ckpt_cfg.get("save_last", True)),
+    )
+    logger = MetricLogger(cfg.output_dir, project=cfg.lightning.logger.project if cfg.lightning and cfg.lightning.logger else None,
+                          experiment=cfg.experiment_name, use_wandb=False)
+
+    pretrained_vars = None
+    if args.ckpt:
+        pretrained_vars, _ = load_checkpoint(args.ckpt)
+
+    if phase == "pretrain":
+        example = device_batch(dm.collate("train")([dm.dataset("train")[0]] * 2))
+        model, state, train_step, eval_step = builder.init_gloria(
+            cfg, example, seed=int(cfg.random_seed or 0),
+            dtype=jnp.bfloat16 if str(cfg.lightning.trainer.precision or "") in ("16", "bf16") else jnp.float32,
+        )
+        if pretrained_vars is not None:
+            state = state.replace(params=pretrained_vars["params"],
+                                  batch_stats=pretrained_vars.get("batch_stats"))
+        callbacks = []
+        loc_cfg = cfg.lightning.evaluate_localization if cfg.lightning else None
+        if loc_cfg:
+            from gloria_tpu.training.localization import EvaluateLocalization
+
+            callbacks.append(EvaluateLocalization(
+                cfg, save_dir=Path(cfg.output_dir) / "localization",
+                eval_attn_overlay_mode=loc_cfg.eval_attn_overlay_mode or "upsample",
+                plot_attn_overlay_mode=loc_cfg.plot_attn_overlay_mode or "upsample",
+                log_train_every=int(loc_cfg.log_train_every or 100),
+                save_full_data=bool(cfg.data.gold_test) if cfg.data else False,
+            ))
+        trainer = Trainer(cfg, train_step, eval_step,
+                          logger=logger, checkpoints=manager, callbacks=callbacks)
+    else:
+        task_cls = ClassificationTask if phase == "classification" else SegmentationTask
+        model, patch = task_cls.build_model(cfg, gloria_variables=pretrained_vars)
+        tx = optim.make_optimizer(cfg, grad_clip=float(cfg.lightning.trainer.gradient_clip_val or 0) or None)
+        task = task_cls(model, build_loss(cfg), tx)
+        example = dm.collate("train")([dm.dataset("train")[0]] * 2)
+        state = task.init_state(example)
+        if patch is not None:
+            merged = graft_pretrained({"params": state.params, "batch_stats": state.batch_stats}, patch)
+            state = state.replace(params=merged["params"], batch_stats=merged["batch_stats"])
+        if cfg.model.vision.freeze_cnn:
+            labels = optim.partition_trainable(state.params, optim.trainable_predicate(cfg))
+            tx = optim.freeze_wrap(tx, labels)
+            task = task_cls(model, build_loss(cfg), tx)
+            state = state.replace(opt_state=tx.init(state.params))
+
+        def extractor(collected):
+            if not collected:
+                return {}
+            logits = np.concatenate([c["logits"] for c in collected])
+            labels_ = np.concatenate([c["labels"] for c in collected])
+            return {f"val_{k}": v for k, v in task.epoch_metrics(logits, labels_).items()}
+
+        def eval_with_labels(s, b):
+            out = task.eval_step(s, b)
+            return {**out, "labels": b["labels"]}
+
+        trainer = Trainer(cfg, task.train_step, eval_with_labels,
+                          logger=logger, checkpoints=manager, metric_extractor=extractor)
+
+    if mesh is not None:
+        state = state.replace(params=shard_params(state.params, mesh),
+                              batch_stats=replicate(state.batch_stats, mesh),
+                              opt_state=shard_params(state.opt_state, mesh))
+
+    results = {}
+    if args.train:
+        state = trainer.fit(state, dm.train_dataloader(), dm.val_dataloader())
+        results["best_ckpt"] = manager.best()
+    if args.val:
+        results["val"] = trainer.validate(state, dm.val_dataloader())
+    if args.test:
+        results["test"] = trainer.test(state, dm.test_dataloader())
+    return results
+
+
+if __name__ == "__main__":
+    from gloria_tpu.configs import load_config, save_config
+
+    args = get_parser().parse_args()
+    cfg = load_config(args.config)
+    apply_overrides(cfg, args)
+
+    seed = int(cfg.random_seed or 0)
+    np.random.seed(seed)
+
+    stamp = datetime.datetime.now().strftime("%Y_%m_%d_%H_%M_%S")
+    base = args.output_dir or cfg.base_output_dir or "./output"
+    cfg.output_dir = os.path.join(base, f"{cfg.experiment_name or 'experiment'}_{stamp}")
+    os.makedirs(cfg.output_dir, exist_ok=True)
+    save_config(cfg, os.path.join(cfg.output_dir, "config.yaml"))
+
+    out = main(cfg, args)
+    if out.get("best_ckpt"):
+        import yaml
+
+        with open(os.path.join(cfg.output_dir, "best_ckpts.yaml"), "w") as fh:
+            yaml.safe_dump({"best": out["best_ckpt"]}, fh)
+    print(out)

@@ -1,0 +1,116 @@
+"""Downstream tasks: UNet forward, classification/segmentation train steps,
+pretrained-encoder transplant."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from gloria_tpu.configs import Config
+from gloria_tpu.models.unet import ResnetUNet
+from gloria_tpu.training import optim
+from gloria_tpu.training.tasks import (
+    ClassificationTask, SegmentationTask, build_loss, graft_pretrained,
+)
+
+
+def task_cfg(loss_type="BCE", **vision):
+    return Config({
+        "model": {"vision": {"model_name": "resnet_18", "num_targets": 3, **vision}},
+        "train": {"loss_fn": {"type": loss_type, "alpha": 10.0},
+                   "optimizer": {"name": "Adam", "weight_decay": 1e-6}},
+        "lightning": {"trainer": {"lr": 1e-3}},
+    })
+
+
+def test_unet_shapes():
+    model = ResnetUNet(model_name="resnet_18", n_classes=1)
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(variables, x)
+    assert out.shape == (1, 64, 64, 1)
+
+
+def test_classification_task_trains():
+    cfg = task_cfg()
+    model, patch = ClassificationTask.build_model(cfg)
+    tx = optim.make_optimizer(cfg, grad_clip=1.0)
+    task = ClassificationTask(model, build_loss(cfg), tx)
+    rng = np.random.RandomState(0)
+    batch = {"imgs": jnp.asarray(rng.randn(4, 64, 64, 3).astype(np.float32)),
+             "labels": jnp.asarray((rng.rand(4, 3) > 0.5).astype(np.float32))}
+    state = task.init_state(batch)
+    losses = []
+    for _ in range(3):
+        state, out = task.train_step(state, batch)
+        losses.append(float(out["loss"]))
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0]
+    ev = task.eval_step(state, batch)
+    m = task.epoch_metrics(np.asarray(ev["logits"]), np.asarray(batch["labels"]))
+    assert 0 <= m["auroc"] <= 1 and 0 <= m["auprc"] <= 1
+
+
+def test_classification_with_pretrained_encoder_and_freeze():
+    from gloria_tpu.models import GLoRIA
+
+    gcfg = Config({"model": {
+        "gloria": {"temp1": 4.0, "temp2": 5.0, "temp3": 10.0},
+        "vision": {"model_name": "resnet_18"},
+        "text": {"embedding_dim": 32, "agg_tokens": False, "last_n_layers": 4,
+                  "bert_config": {"vocab_size": 64, "hidden_size": 32, "num_layers": 1,
+                                   "num_heads": 4, "intermediate_size": 64,
+                                   "max_position_embeddings": 16}}}})
+    g = GLoRIA(gcfg)
+    gb = {"imgs": jnp.zeros((1, 64, 64, 3)),
+          "caption_ids": jnp.zeros((1, 8), jnp.int32),
+          "attention_mask": jnp.ones((1, 8), jnp.int32),
+          "token_type_ids": jnp.zeros((1, 8), jnp.int32)}
+    gvars = g.init(jax.random.PRNGKey(0), gb)
+
+    cfg = task_cfg(freeze_cnn=True)
+    model, patch = ClassificationTask.build_model(cfg, gloria_variables=gvars)
+    assert patch is not None
+    tx = optim.make_optimizer(cfg)
+    task = ClassificationTask(model, build_loss(cfg), tx)
+    batch = {"imgs": jnp.zeros((2, 64, 64, 3)), "labels": jnp.ones((2, 3))}
+    state = task.init_state(batch)
+    state = state.replace(params=graft_pretrained({"params": state.params}, {"params": patch["params"]})["params"],
+                          batch_stats=graft_pretrained({"batch_stats": state.batch_stats},
+                                                        {"batch_stats": patch["batch_stats"]})["batch_stats"])
+    # encoder weights actually transplanted
+    np.testing.assert_array_equal(
+        np.asarray(state.params["img_encoder"]["backbone"]["conv1"]["kernel"]),
+        np.asarray(gvars["params"]["img_encoder"]["backbone"]["conv1"]["kernel"]),
+    )
+    # freeze: frozen encoder params receive zero updates
+    labels = optim.partition_trainable(state.params, optim.trainable_predicate(cfg))
+    frozen_tx = optim.freeze_wrap(tx, labels)
+    task2 = ClassificationTask(model, build_loss(cfg), frozen_tx)
+    state = state.replace(opt_state=frozen_tx.init(state.params))
+    before = np.asarray(state.params["img_encoder"]["backbone"]["conv1"]["kernel"]).copy()
+    head_before = np.asarray(state.params["classifier"]["kernel"]).copy()
+    state, _ = task2.train_step(state, batch)
+    np.testing.assert_array_equal(np.asarray(state.params["img_encoder"]["backbone"]["conv1"]["kernel"]), before)
+    assert np.abs(np.asarray(state.params["classifier"]["kernel"]) - head_before).max() > 0
+
+
+def test_segmentation_task_trains():
+    cfg = task_cfg(loss_type="MixedLoss")
+    model, _ = SegmentationTask.build_model(Config({"model": {"vision": {"model_name": "resnet_18"}}}))
+    tx = optim.make_optimizer(cfg, grad_clip=1.0)
+    task = SegmentationTask(model, build_loss(cfg), tx)
+    rng = np.random.RandomState(1)
+    masks = np.zeros((2, 64, 64), np.float32)
+    masks[:, 20:40, 20:40] = 1
+    batch = {"imgs": jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32)),
+             "labels": jnp.asarray(masks)}
+    state = task.init_state(batch)
+    losses = []
+    for _ in range(3):
+        state, out = task.train_step(state, batch)
+        losses.append(float(out["loss"]))
+    assert all(np.isfinite(l) for l in losses) and losses[-1] < losses[0]
+    ev = task.eval_step(state, batch)
+    m = task.epoch_metrics(np.asarray(ev["logits"]), masks)
+    assert 0 <= m["dice"] <= 1
