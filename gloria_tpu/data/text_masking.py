@@ -1,0 +1,164 @@
+"""Text masking for masked-pretraining ablations.
+
+Equivalent of ``/root/reference/gloria/datasets/text_masking.py``: word,
+sentence, entity, and clinical-entity maskers plus mask-everything, selected
+via ``cfg.data.mask_mode`` (reference ``mimic_data.py:1237-1245``).
+
+spaCy / scispaCy are not baked into this image; the sentence and entity
+maskers use spaCy when importable and fall back to regex sentence splitting /
+a clinical-term lexicon otherwise, so every mode runs hermetically.
+"""
+
+from __future__ import annotations
+
+import random
+import re
+
+
+class MaskAll:
+    def __init__(self, mask_token: str):
+        self.mask_token = mask_token
+
+    def __call__(self, text: str) -> str:
+        return self.mask_token
+
+
+class TextMasker:
+    def __init__(self, mask_token: str, mask_prob: float = 0.15, rng: random.Random | None = None):
+        self.mask_token = mask_token
+        self.mask_prob = mask_prob
+        self.rng = rng or random
+
+
+def _num_masks(n: int, prob: float) -> int:
+    # reference convention: at least 1, at most n-1 (never mask everything)
+    return min(max(int(n * prob), 1), max(n - 1, 0))
+
+
+def mask_words(text: str, mask_token: str, mask_prob: float = 0.15, rng=random) -> str:
+    words = text.split()
+    num = _num_masks(len(words), mask_prob)
+    indices = list(range(len(words)))
+    rng.shuffle(indices)
+    for i in indices[:num]:
+        words[i] = mask_token
+    return " ".join(words)
+
+
+def _mask_spans(text: str, spans: list[tuple[int, int]], mask_token: str,
+                mask_prob: float, rng) -> str:
+    num = _num_masks(len(spans), mask_prob)
+    indices = list(range(len(spans)))
+    rng.shuffle(indices)
+    chosen = sorted((spans[i] for i in indices[:num]), key=lambda s: s[0])
+    segments, offset = [], 0
+    for start, end in chosen:
+        segments.append(text[offset:start])
+        segments.append(mask_token)
+        offset = end
+    segments.append(text[offset:])
+    return "".join(segments)
+
+
+_SENT_BOUNDARY = re.compile(r"[^.!?]+[.!?]?")
+
+# minimal clinical-findings lexicon for the hermetic entity fallback
+_CLINICAL_TERMS = (
+    "atelectasis|cardiomegaly|consolidation|edema|effusion|pneumothorax|"
+    "pneumonia|opacity|fracture|lesion|infiltrate|emphysema|fibrosis|nodule"
+)
+_CLINICAL_RE = re.compile(rf"\b(?:{_CLINICAL_TERMS})\b", re.IGNORECASE)
+
+
+def _spacy_nlp(model: str = "en_core_web_sm"):
+    try:
+        import spacy
+
+        return spacy.load(model)
+    except Exception:
+        return None
+
+
+def mask_sentences(text: str, mask_token: str, nlp=None, mask_prob: float = 0.15, rng=random) -> str:
+    if nlp is not None:
+        spans = [(s.start_char, s.end_char) for s in nlp(text).sents]
+    else:
+        spans = [(m.start(), m.end()) for m in _SENT_BOUNDARY.finditer(text) if m.group().strip()]
+    if not spans:
+        return text
+    return _mask_spans(text, spans, mask_token, mask_prob, rng)
+
+
+def mask_entities(text: str, mask_token: str, nlp=None, mask_prob: float = 0.15,
+                  trim_entities_func=None, rng=random) -> str:
+    if nlp is not None:
+        ents = list(nlp(text).ents)
+        if trim_entities_func is not None:
+            ents = trim_entities_func(ents)
+        spans = [(e.start_char, e.end_char) for e in ents]
+    else:
+        spans = [(m.start(), m.end()) for m in _CLINICAL_RE.finditer(text)]
+    if not spans:
+        return text
+    return _mask_spans(text, spans, mask_token, mask_prob, rng)
+
+
+class WordMasker(TextMasker):
+    def __call__(self, text: str) -> str:
+        return mask_words(text, self.mask_token, self.mask_prob, self.rng)
+
+
+class SentenceMasker(TextMasker):
+    def __init__(self, mask_token: str, mask_prob: float = 0.5, nlp=None, rng=None):
+        super().__init__(mask_token, mask_prob, rng)
+        self.nlp = nlp if nlp is not None else _spacy_nlp()
+
+    def __call__(self, text: str) -> str:
+        return mask_sentences(text, self.mask_token, self.nlp, self.mask_prob, self.rng)
+
+
+class EntityMasker(TextMasker):
+    def __init__(self, mask_token: str, mask_prob: float = 0.5, nlp=None,
+                 trim_entities_func=None, rng=None):
+        super().__init__(mask_token, mask_prob, rng)
+        self.nlp = nlp if nlp is not None else _spacy_nlp()
+        self.trim_entities_func = trim_entities_func
+
+    def __call__(self, text: str) -> str:
+        return mask_entities(text, self.mask_token, self.nlp, self.mask_prob,
+                             self.trim_entities_func, self.rng)
+
+
+class ClinicalEntityMasker(EntityMasker):
+    """UMLS clinical-entity masking (reference uses scispaCy + abbreviation
+    detector + UMLS linker, text_masking.py:50-58); falls back to the
+    clinical-findings lexicon when scispaCy is absent."""
+
+    def __init__(self, mask_token: str, mask_prob: float = 0.5, rng=None):
+        nlp = None
+        try:
+            import spacy
+
+            nlp = spacy.load("en_core_sci_sm")
+            nlp.add_pipe("abbreviation_detector")
+            nlp.add_pipe("scispacy_linker",
+                         config={"resolve_abbreviations": True, "linker_name": "umls"})
+        except Exception:
+            nlp = None
+        super().__init__(mask_token, mask_prob, nlp=nlp,
+                         trim_entities_func=lambda e: e, rng=rng)
+
+
+def build_masker(mask_mode: str, mask_token: str = "[MASK]", mask_prob: float = 0.15,
+                 rng=None) -> TextMasker:
+    """cfg.data.mask_mode → masker (reference mimic_data.py:1237-1245)."""
+    table = {
+        "word": WordMasker,
+        "sentence": SentenceMasker,
+        "entity": EntityMasker,
+        "clinical_entity": ClinicalEntityMasker,
+        "all": MaskAll,
+    }
+    if mask_mode == "all":
+        return MaskAll(mask_token)
+    return table[mask_mode](mask_token, mask_prob, rng=rng)

@@ -1,0 +1,181 @@
+"""ImaGenome pipeline: scene-graph parsing, perturbations, dataset, masking.
+
+Runs against a synthetic PhysioNet mirror laid out on disk (scene-graph
+JSONs + image cache), so the whole ingestion path is exercised hermetically.
+"""
+
+import json
+import os
+import random
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from gloria_tpu.configs import Config
+from gloria_tpu.data import mimic
+from gloria_tpu.data.text_masking import build_masker, mask_words
+
+
+def make_mirror(tmp_path, n_dicoms=4):
+    filer = mimic.MimicCxrFiler(str(tmp_path / "mimic-cxr"))
+    imagenome = mimic.ImaGenomeFiler(str(tmp_path / "chest-imagenome"))
+    rng = np.random.RandomState(0)
+    records = []
+    for i in range(n_dicoms):
+        dicom_id = f"d{i:03d}"
+        records.append({"subject_id": 100 + i // 2, "study_id": 200 + i, "dicom_id": dicom_id})
+        # image cache
+        os.makedirs(os.path.dirname(filer.image_cache_path(dicom_id)), exist_ok=True)
+        np.save(filer.image_cache_path(dicom_id), (rng.rand(64, 64) * 255).astype(np.uint8))
+        # silver scene graph
+        sg = {
+            "objects": [
+                {"object_id": f"{dicom_id}_lll", "bbox_name": "left lower lung zone",
+                 "original_x1": 5, "original_y1": 10, "original_x2": 25, "original_y2": 40},
+                {"object_id": f"{dicom_id}_rll", "bbox_name": "right lower lung zone",
+                 "original_x1": 35, "original_y1": 10, "original_x2": 55, "original_y2": 40},
+            ],
+            "attributes": [
+                {"object_id": f"{dicom_id}_lll",
+                 "phrase_IDs": [f"{dicom_id}_s0"],
+                 "phrases": [f"Mild opacity in the left lower lung zone {i}."],
+                 "attributes": [["anatomicalfinding|yes|lung opacity"]]},
+                {"object_id": f"{dicom_id}_rll",
+                 "phrase_IDs": [f"{dicom_id}_s1"],
+                 "phrases": [f"No pneumothorax on the right {i}."],
+                 "attributes": [["anatomicalfinding|no|pneumothorax"]]},
+            ],
+        }
+        path = imagenome.get_silver_scene_graph_json_file(dicom_id)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as fh:
+            json.dump(sg, fh)
+    return filer, imagenome, pd.DataFrame(records)
+
+
+def test_get_objects_silver_with_coord_wart(tmp_path):
+    filer, imagenome, records = make_mirror(tmp_path)
+    objects = mimic.get_objects("d000", gold=False, imagenome_filer=imagenome)
+    assert set(objects["sent_to_bboxes"]) == {"d000_s0", "d000_s1"}
+    info = objects["sent_to_bboxes"]["d000_s0"]
+    assert info["bboxes"] == ["left lower lung zone"]
+    assert info["labels"] == ["lung opacity"] and info["contexts"] == ["yes"]
+    # reference wart: y2 slot carries x2 (mimic_data.py:766-767)
+    assert info["coords_original"][0] == [5, 10, 25, 25]
+    fixed = mimic.get_objects("d000", gold=False, imagenome_filer=imagenome, fix_coord_bug=True)
+    assert fixed["sent_to_bboxes"]["d000_s0"]["coords_original"][0] == [5, 10, 25, 40]
+    # reverse index
+    assert "left lower lung zone" in objects["bbox_to_sents"]
+
+
+def test_generate_sentences_and_left_right():
+    gen = mimic.GenerateContextLocationConditionSentences()
+    s = gen(["lung opacity"], ["yes"], ["left lower lung zone"])
+    assert s == "There is lung opacity in the left lower lung zone."
+    # left+right merge to plural
+    s2 = gen(["edema", "edema"], ["yes", "yes"], ["left lung", "right lung"])
+    assert s2 == "There is edema in the lungs."
+    s3 = gen(["abnormal"], ["yes"], ["cardiac silhouette"])
+    assert s3 == "The cardiac silhouette is abnormal."
+    s4 = gen(["edema"], ["no"], ["left lung"])
+    assert s4 == "There is no edema."
+    assert mimic.swap_left_right_words("Left base and right apex") == "right base and left apex"
+
+
+def test_imagenome_dataset_and_randomization(tmp_path):
+    filer, imagenome, records = make_mirror(tmp_path)
+    sentences = mimic.build_sentences_df(records, imagenome)
+    assert len(sentences) == 8  # 4 dicoms x 2 sentences
+    ds = mimic.ImaGenomeDataset(records, filer, imagenome, group_by="sentence",
+                                 sentences_df=sentences)
+    inst = ds[0]
+    assert inst["image"].shape == (64, 64)
+    assert "opacity" in inst["report"] or "pneumothorax" in inst["report"]
+    assert len(inst["bboxes"]) == 1
+    assert inst["id"].startswith("dicom_d")
+
+    # random_sentences: sentence replaced, bboxes kept
+    ds_rand = mimic.ImaGenomeDataset(records, filer, imagenome, group_by="sentence",
+                                      sentences_df=sentences,
+                                      randomize_objects_mode="random_sentences",
+                                      rng=random.Random(1))
+    objects = ds_rand._objects_for("d000")
+    assert set(objects["sent_to_bboxes"]) == {"d000_s0", "d000_s1"}
+    assert objects["mode"] == "random_sentences"
+    for sid, info in objects["sent_to_bboxes"].items():
+        assert info["part_randomized"] == "sentence"
+
+    # shuffle mode keeps parts within the image
+    ds_shuf = mimic.ImaGenomeDataset(records, filer, imagenome, group_by="sentence",
+                                      sentences_df=sentences,
+                                      randomize_objects_mode="shuffle",
+                                      rng=random.Random(2))
+    objects = ds_shuf._objects_for("d001")
+    assert objects["mode"] == "shuffle_bboxes_sentences"
+
+
+def test_generated_sentences_and_swap_left_right_paths(tmp_path):
+    filer, imagenome, records = make_mirror(tmp_path)
+    sentences = mimic.build_sentences_df(records, imagenome)
+    ds_gen = mimic.ImaGenomeDataset(records, filer, imagenome, group_by="sentence",
+                                     sentences_df=sentences, generate_sent=True)
+    inst = ds_gen[0]
+    assert inst["report"].startswith("There is ") or inst["report"].startswith("The ")
+    ds_swap = mimic.ImaGenomeDataset(records, filer, imagenome, group_by="sentence",
+                                      sentences_df=sentences, swap_left_right=True)
+    inst0 = ds_swap[0]
+    orig = mimic.ImaGenomeDataset(records, filer, imagenome, group_by="sentence",
+                                   sentences_df=sentences)[0]
+    if "left" in orig["report"].lower():
+        assert "right" in inst0["report"]
+
+
+def test_text_maskers():
+    rng = random.Random(0)
+    out = mask_words("mild edema at the left base", "[MASK]", 0.34, rng)
+    assert out.count("[MASK]") == 2 and len(out.split()) == 6
+    sent_masker = build_masker("sentence", mask_prob=0.5, rng=random.Random(1))
+    text = "First finding here. Second finding there. Third one."
+    masked = sent_masker(text)
+    assert "[MASK]" in masked and masked != text
+    ent_masker = build_masker("entity", mask_prob=1.0, rng=random.Random(2))
+    masked2 = ent_masker("there is edema and a small effusion")
+    assert "[MASK]" in masked2
+    assert build_masker("all")("anything") == "[MASK]"
+
+
+def test_split_subjects_and_filters(tmp_path):
+    splits = mimic.split_subjects(range(100), ratios=(0.8, 0.1, 0.1), seed=0)
+    assert len(splits["train"]) == 80 and len(splits["valid"]) == 10
+    assert not (splits["train"] & splits["valid"])
+    df = pd.DataFrame({
+        "subject_id": [1, 1, 2, 3], "study_id": [10, 11, 20, 30],
+        "dicom_id": ["a", "b", "c", "d"], "ViewPosition": ["PA", "AP", "LL", "PA"],
+    })
+    out = mimic.process_records(df, [mimic.ViewpointFilter(), mimic.HasGreaterThanNStudies(1)])
+    assert out.dicom_id.tolist() == ["a", "b"]
+
+
+def test_imagenome_datamodule_with_collate(tmp_path):
+    filer, imagenome, records = make_mirror(tmp_path)
+    sentences = mimic.build_sentences_df(records, imagenome)
+    cfg = Config({
+        "phase": "pretrain",
+        "model": {"text": {}},
+        "data": {"dataset": "imagenome", "group_by": "sentence",
+                  "image": {"imsize": 64}, "text": {"word_num": 24}},
+        "transforms": {"norm": "half", "random_crop": {"crop_size": 48}},
+        "train": {"batch_size": 4, "num_workers": 2},
+    })
+    dm = mimic.ImaGenomeDataModule(
+        cfg, mimic_cxr_filer=filer, imagenome_filer=imagenome,
+        records={"train": records, "valid": records, "test": records},
+        sentences={"train": sentences, "valid": sentences, "test": sentences},
+    )
+    batches = list(dm.loader("train", prefetch=1))
+    assert len(batches) == 2
+    b = batches[0]
+    assert b["imgs"].shape == (4, 48, 48, 3)
+    assert b["segmentation_labels"].shape == (4, 48, 48)
+    assert b["segmentation_labels"].sum() > 0  # bboxes projected into crop
