@@ -161,6 +161,58 @@ class GloriaModel:
         return pd.DataFrame(arr, columns=list(cls_txt_mapping.keys()))
 
 
+def load_img_classification_model(
+    name: str = "gloria_resnet50",
+    device=None,
+    num_cls: int = 1,
+    freeze_encoder: bool = True,
+):
+    """Pretrained-encoder classifier (reference gloria.py:97-133).
+
+    Returns (model, variables, trainable_labels): the GLoRIA image encoder is
+    transplanted into a PretrainedImageClassifier; freezing is expressed as an
+    optax partition label tree (see training.optim.freeze_wrap)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .models.vision_model import PretrainedImageClassifier
+    from .training import optim
+
+    gm = load_gloria(name, device)
+    model_name = (gm.cfg.model.vision.model_name if gm.cfg.model and gm.cfg.model.vision else None) or "resnet_50"
+    model = PretrainedImageClassifier(model_name=model_name, num_classes=num_cls)
+    imsize = int(gm.cfg.data.image.imsize or 256) if gm.cfg.data and gm.cfg.data.image else 256
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, imsize, imsize, 3)))
+    variables = jax.tree_util.tree_map(lambda x: x, variables)
+    variables["params"]["img_encoder"] = gm.variables["params"]["img_encoder"]
+    variables["batch_stats"]["img_encoder"] = gm.variables["batch_stats"]["img_encoder"]
+    labels = None
+    if freeze_encoder:
+        labels = optim.partition_trainable(
+            variables["params"], lambda path: not path[0].startswith("img_encoder")
+        )
+    return model, variables, labels
+
+
+def load_img_segmentation_model(name: str = "gloria_resnet50", device=None):
+    """U-Net with the GLoRIA ResNet encoder transplanted
+    (reference gloria.py:136-181; decoder is the first-party ResnetUNet —
+    segmentation_models_pytorch is torch-only). Returns (model, variables)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .models.unet import ResnetUNet
+
+    gm = load_gloria(name, device)
+    model_name = (gm.cfg.model.vision.model_name if gm.cfg.model and gm.cfg.model.vision else None) or "resnet_50"
+    model = ResnetUNet(model_name=model_name, n_classes=1)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    variables = jax.tree_util.tree_map(lambda x: x, variables)
+    variables["params"]["backbone"] = gm.variables["params"]["img_encoder"]["backbone"]
+    variables["batch_stats"]["backbone"] = gm.variables["batch_stats"]["img_encoder"]["backbone"]
+    return model, variables
+
+
 def generate_chexpert_class_prompts(n: int = 5) -> dict:
     """severity × subtype × location prompt grammar sampling
     (reference gloria.py:278-306)."""

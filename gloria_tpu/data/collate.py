@@ -54,8 +54,24 @@ class GloriaCollate:
         word_num = int(cfg.data.text.word_num or 97)
         self.text = TextProcessor(tokenizer, num_words=word_num)
         self.sort_by_len = sort_by_len
+        # opt-in native C++ ingest: fused letterbox+normalize in one call per
+        # batch (eval splits only — train needs the augmentation chain);
+        # cv2 stays the default for bit-parity with the reference.
+        self.native_ingest = False
+        if cfg.data.native_ingest and split != "train" and (cfg.transforms.norm or "half") == "half"                 and not (cfg.transforms and cfg.transforms.random_crop):
+            from . import native
+
+            self.native_ingest = native.available()
 
     def process_img(self, images: list[np.ndarray]) -> np.ndarray:
+        if self.native_ingest:
+            from . import native
+
+            return native.letterbox_normalize_batch(
+                [im if im.dtype == np.uint8 else ((im - im.min()) / (im.max() - im.min() + 1e-8) * 255).astype(np.uint8)
+                 for im in images],
+                self.imsize,
+            )
         out = []
         for im in images:
             if im.dtype != np.uint8:

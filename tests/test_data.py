@@ -122,3 +122,18 @@ def test_normalize_modes():
     np.testing.assert_allclose(normalize(img, None), 1.0)
     out = normalize(img, "imagenet")
     assert out.shape == (4, 4, 3) and out[0, 0, 0] != out[0, 0, 2]
+
+
+def test_native_ingest_matches_python_path():
+    from gloria_tpu.data import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native ingest library not built")
+    rng = np.random.RandomState(0)
+    imgs = [(rng.rand(90, 60) * 255).astype(np.uint8), (rng.rand(50, 80) * 255).astype(np.uint8)]
+    out = native.letterbox_normalize_batch(imgs, 64)
+    ref = np.stack([normalize(np.repeat(letterbox_resize(im, 64)[..., None], 3, -1), "half") for im in imgs])
+    assert out.shape == (2, 64, 64, 3)
+    np.testing.assert_allclose(out, ref, atol=0.03)
