@@ -23,8 +23,19 @@ Design notes (TPU/Mosaic-shaped):
 
 Numerics match ``local_matching`` to bf16 tolerance; padded words/regions are
 masked to -inf before their softmaxes so they carry exactly zero probability.
-Used on the forward/eval paths (zero-shot, retrieval,
-``get_local_similarities``) where the pairwise matrix is largest.
+
+Measured on TPU v5e (1 chip), vs the XLA einsum path of ``local_matching``:
+
+    shape (T=B=48,  S=361, W=97, D=768):  XLA 5.2 ms · this kernel 17.6 ms
+    shape (T=B=200, chunked scan XLA):    XLA 75 ms  · this kernel 148 ms
+    rel. error vs XLA path: ~3e-5
+
+XLA's fused batched einsums win at these shapes — the sequential
+text loop (required to keep Mosaic compile time sane; the fully unrolled
+variant compiles for >10 min) leaves the MXU underfed between softmax
+chains.  The XLA path therefore remains the production default; this kernel
+is kept as a validated alternative and a base for future tuning (it becomes
+attractive if HBM pressure grows, e.g. much larger region/word counts).
 """
 
 from __future__ import annotations
