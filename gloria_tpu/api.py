@@ -146,6 +146,26 @@ class GloriaModel:
             return local_sim
         return (local_sim + global_sim) / 2
 
+    def plot_attn_maps(self, attn_maps, imgs, words, cap_lens, output_path=None,
+                       nvis: int = 8, rand_vis: bool = False):
+        """Render the per-word attention grid (reference ``plot_attn_maps``,
+        gloria_model.py:213-231). Returns the image array; saves when
+        ``output_path`` is given."""
+        from .utils.viz import build_attention_images
+
+        B, W, R = np.asarray(attn_maps).shape
+        side = int(round(R ** 0.5))
+        grid = np.asarray(attn_maps).reshape(B, W, side, side)
+        img_set = build_attention_images(
+            np.asarray(imgs), grid, words, np.asarray(cap_lens),
+            nvis=nvis, rand_vis=rand_vis,
+        )
+        if output_path is not None:
+            from PIL import Image
+
+            Image.fromarray(img_set).save(output_path)
+        return img_set
+
     def zero_shot_classification(self, imgs, cls_txt_mapping: dict):
         """Per-class max-over-prompts mean similarity, z-normalized across
         classes (reference ``zero_shot_classification``, gloria.py:240-275)."""

@@ -67,7 +67,8 @@ def build_scheduler(cfg: Config) -> optim.LRScheduler:
     return optim.make_scheduler(cfg)
 
 
-def init_gloria(cfg: Config, batch: dict, seed: int = 0, dtype=jnp.float32):
+def init_gloria(cfg: Config, batch: dict, seed: int = 0, dtype=jnp.float32,
+                return_attn: bool = False, loss_chunk: int = 8):
     """Initialize model + optimizer + train state from an example batch.
     Returns (model, state, train_step, eval_step)."""
     model = build_gloria_model(cfg, dtype=dtype)
@@ -75,5 +76,5 @@ def init_gloria(cfg: Config, batch: dict, seed: int = 0, dtype=jnp.float32):
     variables = model.init(jax.random.PRNGKey(seed), model_batch)
     tx = build_optimizer(cfg, variables["params"])
     state = create_train_state(model, variables, tx, jax.random.PRNGKey(seed + 1))
-    train_step, eval_step = make_pretrain_steps(model, tx)
+    train_step, eval_step = make_pretrain_steps(model, tx, return_attn=return_attn, loss_chunk=loss_chunk)
     return model, state, train_step, eval_step

@@ -124,6 +124,8 @@ class GloriaCollate:
         batch["_order"] = order
         if all("id" in inst for inst in instances):
             batch["_ids"] = [instances[i]["id"] for i in order]
+        if all("index" in inst for inst in instances):
+            batch["_indices"] = np.asarray([instances[i]["index"] for i in order])
         return batch
 
 

@@ -79,7 +79,7 @@ class CheXpertPretrainingDataset:
             report = " ".join(sents)
         else:
             report = sents[self.rng.randint(len(sents))] if sents else ""
-        return {"image": img, "report": report, "id": path}
+        return {"image": img, "report": report, "id": path, "index": idx}
 
 
 _CONDITIONS = [
@@ -107,6 +107,20 @@ class SyntheticPretrainingDataset:
     def __len__(self) -> int:
         return self.size
 
+    # location phrase → box-center fractions: gives the data REAL cross-modal
+    # signal, so contrastive training can beat the log(B) bound and attention
+    # localization is meaningfully testable on synthetic data alone
+    _LOC_CENTERS = {
+        "at the left lung base": (0.25, 0.8),
+        "at the right lung base": (0.75, 0.8),
+        "in the upper lobe": (0.5, 0.2),
+        "at the mid lung zone": (0.5, 0.5),
+        "in the retrocardiac region": (0.4, 0.65),
+        "bilaterally": (0.5, 0.85),
+    }
+    # condition → brightness delta (so the condition word is also grounded)
+    _COND_DELTAS = {c: 40 + 15 * i for i, c in enumerate(_CONDITIONS)}
+
     def __getitem__(self, idx: int) -> dict:
         rng = np.random.RandomState(self.seed * 100003 + idx)
         n_sents = rng.randint(1, 4)
@@ -118,15 +132,24 @@ class SyntheticPretrainingDataset:
                 f"{_LOCATIONS[rng.randint(len(_LOCATIONS))]}"
             )
         report = ". ".join(s.capitalize() for s in sents) + "."
-        img = (rng.rand(self.imsize, self.imsize) * 255).astype(np.uint8)
-        # draw a bright box so attention has structure to find
-        x, y = rng.randint(0, self.imsize // 2, size=2)
-        w, h = rng.randint(self.imsize // 8, self.imsize // 3, size=2)
-        img[y : y + h, x : x + w] = np.minimum(255, img[y : y + h, x : x + w].astype(int) + 90).astype(np.uint8)
+        img = (rng.rand(self.imsize, self.imsize) * 255 * 0.5).astype(np.uint8)
+        # box placed where the FIRST sentence says, brightness keyed to its condition
+        first = sents[0]
+        location = next(l for l in _LOCATIONS if first.endswith(l))
+        condition = next(c for c in _CONDITIONS if f" {c} " in f" {first} ")
+        cx, cy = self._LOC_CENTERS[location]
+        w, h = rng.randint(self.imsize // 8, self.imsize // 4, size=2)
+        x = int(np.clip(cx * self.imsize - w / 2 + rng.randint(-4, 5), 0, self.imsize - w))
+        y = int(np.clip(cy * self.imsize - h / 2 + rng.randint(-4, 5), 0, self.imsize - h))
+        delta = self._COND_DELTAS[condition]
+        img[y : y + h, x : x + w] = np.minimum(
+            255, img[y : y + h, x : x + w].astype(int) + delta
+        ).astype(np.uint8)
         return {
             "image": img,
             "report": report,
             "id": f"synthetic/{idx}",
+            "index": idx,
             "bboxes": [[float(x), float(y), float(x + w), float(y + h)]],
         }
 

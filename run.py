@@ -49,6 +49,10 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--segmentation_loss_weight", type=float, default=None)
     p.add_argument("--limit_batches", type=int, default=None, help="cap batches/epoch (debug)")
     p.add_argument("--fsdp", type=int, default=1)
+    p.add_argument("--multihost", action="store_true",
+                   help="initialize jax.distributed for multi-host SPMD (DCN)")
+    p.add_argument("--n_seeds", type=int, default=1,
+                   help="repeat the experiment over consecutive seeds (reference run.py seed loop)")
     return p
 
 
@@ -120,21 +124,39 @@ def main(cfg, args) -> dict:
     logger = MetricLogger(cfg.output_dir, project=cfg.lightning.logger.project if cfg.lightning and cfg.lightning.logger else None,
                           experiment=cfg.experiment_name, use_wandb=False)
 
+    train_loader = None
     pretrained_vars = None
     if args.ckpt:
         pretrained_vars, _ = load_checkpoint(args.ckpt)
 
     if phase == "pretrain":
         example = device_batch(dm.collate("train")([dm.dataset("train")[0]] * 2))
+        loc_cfg = cfg.lightning.evaluate_localization if cfg.lightning else None
+        wil_cfg = cfg.lightning.weight_instances_by_localization if cfg.lightning else None
         model, state, train_step, eval_step = builder.init_gloria(
             cfg, example, seed=int(cfg.random_seed or 0),
             dtype=jnp.bfloat16 if str(cfg.lightning.trainer.precision or "") in ("16", "bf16") else jnp.float32,
+            return_attn=bool(loc_cfg or wil_cfg),
         )
         if pretrained_vars is not None:
             state = state.replace(params=pretrained_vars["params"],
                                   batch_stats=pretrained_vars.get("batch_stats"))
         callbacks = []
-        loc_cfg = cfg.lightning.evaluate_localization if cfg.lightning else None
+        if cfg.train and cfg.train.nvis:
+            from gloria_tpu.training.plotting import AttentionPlotCallback
+
+            callbacks.append(AttentionPlotCallback(cfg))
+        if wil_cfg:
+            from gloria_tpu.training.localization import WeightInstancesByLocalization
+
+            # must be the SAME loader instance the trainer iterates, so the
+            # epoch-end sampler weights take effect
+            train_loader = dm.train_dataloader()
+            callbacks.append(WeightInstancesByLocalization(
+                train_loader, len(dm.dataset("train")),
+                weight_mode=wil_cfg.weight_mode or "attn_entropy",
+                temp=float(wil_cfg.temp or 0.2),
+            ))
         if loc_cfg:
             from gloria_tpu.training.localization import EvaluateLocalization
 
@@ -184,7 +206,9 @@ def main(cfg, args) -> dict:
 
     results = {}
     if args.train:
-        state = trainer.fit(state, dm.train_dataloader(), dm.val_dataloader())
+        if train_loader is None:
+            train_loader = dm.train_dataloader()
+        state = trainer.fit(state, train_loader, dm.val_dataloader())
         results["best_ckpt"] = manager.best()
     if args.val:
         results["val"] = trainer.validate(state, dm.val_dataloader())
@@ -197,22 +221,38 @@ if __name__ == "__main__":
     from gloria_tpu.configs import load_config, save_config
 
     args = get_parser().parse_args()
-    cfg = load_config(args.config)
-    apply_overrides(cfg, args)
+    if args.multihost:
+        import jax
 
-    seed = int(cfg.random_seed or 0)
-    np.random.seed(seed)
+        jax.distributed.initialize()  # coordinator/process env-driven
 
-    stamp = datetime.datetime.now().strftime("%Y_%m_%d_%H_%M_%S")
-    base = args.output_dir or cfg.base_output_dir or "./output"
-    cfg.output_dir = os.path.join(base, f"{cfg.experiment_name or 'experiment'}_{stamp}")
-    os.makedirs(cfg.output_dir, exist_ok=True)
-    save_config(cfg, os.path.join(cfg.output_dir, "config.yaml"))
+    base_cfg = load_config(args.config)
+    apply_overrides(base_cfg, args)
+    base_seed = int(base_cfg.random_seed or 0)
 
-    out = main(cfg, args)
-    if out.get("best_ckpt"):
+    best_ckpts = {}
+    for split_idx in range(max(1, args.n_seeds)):
+        cfg = load_config(args.config)
+        apply_overrides(cfg, args)
+        cfg.random_seed = base_seed + split_idx
+        np.random.seed(int(cfg.random_seed))
+
+        stamp = datetime.datetime.now().strftime("%Y_%m_%d_%H_%M_%S")
+        base = args.output_dir or cfg.base_output_dir or "./output"
+        name = f"{cfg.experiment_name or 'experiment'}_{stamp}"
+        if args.n_seeds > 1:
+            name += f"_seed{cfg.random_seed}"
+        cfg.output_dir = os.path.join(base, name)
+        os.makedirs(cfg.output_dir, exist_ok=True)
+        save_config(cfg, os.path.join(cfg.output_dir, "config.yaml"))
+
+        out = main(cfg, args)
+        if out.get("best_ckpt"):
+            best_ckpts[f"seed_{cfg.random_seed}"] = out["best_ckpt"]
+        print(out)
+
+    if best_ckpts:
         import yaml
 
-        with open(os.path.join(cfg.output_dir, "best_ckpts.yaml"), "w") as fh:
-            yaml.safe_dump({"best": out["best_ckpt"]}, fh)
-    print(out)
+        with open(os.path.join(base, "best_ckpts.yaml"), "w") as fh:
+            yaml.safe_dump(best_ckpts, fh)
