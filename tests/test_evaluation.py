@@ -1,0 +1,61 @@
+"""Zero-shot 5×200 evaluation driver on a fabricated benchmark."""
+
+import json
+
+import numpy as np
+import pytest
+
+import jax
+
+from gloria_tpu import api
+from gloria_tpu.configs import Config
+from gloria_tpu.data.tokenizer import WordPieceTokenizer
+from gloria_tpu.evaluation import evaluate_zero_shot
+from gloria_tpu.models import GLoRIA
+
+
+def test_evaluate_zero_shot_end_to_end(tmp_path):
+    cv2 = pytest.importorskip("cv2")
+    cfg = Config({
+        "model": {"gloria": {"temp1": 4.0, "temp2": 5.0, "temp3": 10.0},
+                   "vision": {"model_name": "resnet_18"},
+                   "text": {"embedding_dim": 32, "last_n_layers": 4, "agg_tokens": True,
+                             "aggregate_method": "sum",
+                             "bert_config": {"vocab_size": 512, "hidden_size": 32,
+                                              "num_layers": 2, "num_heads": 4,
+                                              "intermediate_size": 64,
+                                              "max_position_embeddings": 64}}},
+        "data": {"image": {"imsize": 64}, "text": {"word_num": 48}},
+        "transforms": {"norm": "half", "random_crop": {"crop_size": 48}},
+    })
+    prompt_corpus = [p for v in api.generate_chexpert_class_prompts(5).values() for p in v]
+    tok = WordPieceTokenizer.from_corpus(prompt_corpus)
+    model = GLoRIA(cfg)
+    batch = {
+        "imgs": np.zeros((1, 64, 64, 3), np.float32),
+        "caption_ids": np.zeros((1, 48), np.int32),
+        "attention_mask": np.ones((1, 48), np.int32),
+        "token_type_ids": np.zeros((1, 48), np.int32),
+        "word_assignment": np.eye(48, dtype=np.float32)[None],
+    }
+    variables = model.init(jax.random.PRNGKey(0), {k: jax.numpy.asarray(v) for k, v in batch.items()})
+    gm = api.GloriaModel(cfg, variables, tokenizer=tok)
+
+    rng = np.random.RandomState(0)
+    paths, labels = [], []
+    classes = ["Edema", "Atelectasis"]
+    for i in range(8):
+        p = tmp_path / f"img{i}.png"
+        cv2.imwrite(str(p), (rng.rand(80, 80) * 255).astype(np.uint8))
+        paths.append(str(p))
+        onehot = np.zeros(2, np.float32)
+        onehot[i % 2] = 1
+        labels.append(onehot)
+    res = evaluate_zero_shot(gm, paths, np.stack(labels), classes, n_prompts=2, batch_size=3)
+    assert res["n_images"] == 8
+    assert 0.0 <= res["accuracy"] <= 1.0
+    assert set(res["auroc_per_class"]) == set(classes)
+    assert res["class_scores"].shape == (8, 2)
+    # z-normalized over the full image set
+    np.testing.assert_allclose(res["class_scores"].mean(axis=0), 0, atol=1e-4)
+    json.dumps({k: v for k, v in res.items() if k != "class_scores"})  # serializable
