@@ -54,6 +54,8 @@ def build(smoke: bool):
             "intermediate_size": 3072, "max_position_embeddings": 512,
         }
         batch_size, tokens, imsize = 48, 97, 224
+    if getattr(build, "_batch_override", None):
+        batch_size = build._batch_override
 
     raw = make_synthetic_batch(batch_size=batch_size, num_tokens=tokens, imsize=imsize,
                                vocab_size=cfg.model.text.bert_config["vocab_size"])
@@ -82,12 +84,17 @@ def main() -> int:
     ap.add_argument("--smoke", action="store_true")
     ap.add_argument("--cpu-baseline", action="store_true")
     ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--batch-size", type=int, default=None,
+                    help="override batch size (default: 48, the reference's; "
+                         "peak v5e throughput measured at 96)")
     args = ap.parse_args()
 
     if args.cpu_baseline:
         import jax
         jax.config.update("jax_platforms", "cpu")
 
+    if args.batch_size:
+        build._batch_override = args.batch_size
     state, batch, train_step, bs = build(args.smoke)
     steps = args.steps if not args.cpu_baseline else max(2, args.steps // 5)
     warmup = 1 if (args.cpu_baseline or args.smoke) else 3
