@@ -86,6 +86,10 @@ class Trainer:
         lightning = cfg.lightning or Config()
         trainer_cfg = lightning.trainer or Config()
         self.max_epochs = int(trainer_cfg.max_epochs or 1)
+        # reference trainer knobs (imagenome_pretrain_config.yaml:14-16)
+        self.limit_train_batches = trainer_cfg.limit_train_batches
+        self.limit_val_batches = trainer_cfg.limit_val_batches
+        self.check_val_every_n_epoch = int(trainer_cfg.check_val_every_n_epoch or 1)
         self.logger = logger or MetricLogger(cfg.output_dir)
         self.checkpoints = checkpoints
         self.scheduler = optim.make_scheduler(cfg)
@@ -103,14 +107,29 @@ class Trainer:
         self.metric_extractor = metric_extractor or (lambda m: {})
         self.global_step = 0
 
+    @staticmethod
+    def _limit(limit, loader) -> int | None:
+        """Lightning semantics: float = fraction of batches, int = count."""
+        if limit is None:
+            return None
+        if isinstance(limit, float) and limit <= 1.0:
+            try:
+                return max(1, int(len(loader) * limit))
+            except TypeError:
+                return None
+        return int(limit)
+
     # -- loops -----------------------------------------------------------------
     def _run_eval(self, state: TrainState, loader: Iterable, split: str) -> dict:
         if self.eval_step is None:
             return {}
+        max_batches = self._limit(self.limit_val_batches, loader)
         sums: dict[str, float] = {}
         count = 0
         collected: list[dict] = []
         for batch_idx, batch in enumerate(loader):
+            if max_batches is not None and batch_idx >= max_batches:
+                break
             out = self.eval_step(state, _device_only(batch))
             metrics = out[0] if isinstance(out, tuple) else out
             host = {k: np.asarray(jax.device_get(v)) for k, v in metrics.items()}
@@ -131,7 +150,10 @@ class Trainer:
             t0 = time.time()
             n = 0
             loss_sum = 0.0
+            max_batches = self._limit(self.limit_train_batches, train_loader)
             for batch_idx, batch in enumerate(train_loader):
+                if max_batches is not None and batch_idx >= max_batches:
+                    break
                 state, metrics = self.train_step(state, _device_only(batch))
                 self.global_step += 1
                 n += 1
@@ -145,7 +167,7 @@ class Trainer:
                     self.logger.log(host, self.global_step, "train")
 
             epoch_metrics = {"train_loss": loss_sum / max(n, 1), "epoch_time": time.time() - t0}
-            if val_loader is not None:
+            if val_loader is not None and (epoch + 1) % self.check_val_every_n_epoch == 0:
                 epoch_metrics.update(self._run_eval(state, val_loader, "val"))
             for cb in self.callbacks:
                 cb.on_epoch_end(self, state, "train", epoch_metrics)

