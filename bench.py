@@ -32,7 +32,7 @@ import time
 CPU_BASELINE_PAIRS_PER_SEC = 0.077
 
 
-def build(smoke: bool):
+def build(smoke: bool, batch_override: int | None = None):
     import jax
     import jax.numpy as jnp
 
@@ -54,8 +54,8 @@ def build(smoke: bool):
             "intermediate_size": 3072, "max_position_embeddings": 512,
         }
         batch_size, tokens, imsize = 48, 97, 224
-    if getattr(build, "_batch_override", None):
-        batch_size = build._batch_override
+    if batch_override:
+        batch_size = batch_override
 
     raw = make_synthetic_batch(batch_size=batch_size, num_tokens=tokens, imsize=imsize,
                                vocab_size=cfg.model.text.bert_config["vocab_size"])
@@ -93,9 +93,7 @@ def main() -> int:
         import jax
         jax.config.update("jax_platforms", "cpu")
 
-    if args.batch_size:
-        build._batch_override = args.batch_size
-    state, batch, train_step, bs = build(args.smoke)
+    state, batch, train_step, bs = build(args.smoke, args.batch_size)
     steps = args.steps if not args.cpu_baseline else max(2, args.steps // 5)
     warmup = 1 if (args.cpu_baseline or args.smoke) else 3
     pairs_per_sec, loss = measure(state, batch, train_step, bs, steps, warmup)

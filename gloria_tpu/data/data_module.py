@@ -84,7 +84,8 @@ class _PretrainModule(DataModule):
         try:
             return load_tokenizer(bert_type=text_cfg.bert_type, vocab_file=text_cfg.vocab_file)
         except ValueError:
-            corpus = [self.dataset("train")[i]["report"] for i in range(min(64, len(self.dataset("train"))))]
+            ds = self.dataset("train")  # construct once: may parse scene graphs etc.
+            corpus = [ds[i]["report"] for i in range(min(64, len(ds)))]
             return load_tokenizer(corpus=corpus)
 
     def collate(self, split):

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import queue
 import threading
+from queue import Full
 from concurrent.futures import ThreadPoolExecutor
 from typing import Callable, Iterator
 
@@ -99,13 +100,34 @@ class PrefetchLoader:
                             idxs = next(it, None)
                             if idxs is not None:
                                 pending.append(inner.submit(build, idxs))
-                            out_q.put(batch)
+                            # bounded put that re-checks stop: the consumer may
+                            # abandon the epoch early (limit_train_batches) and
+                            # a blocking put would leak this thread + executors
+                            while True:
+                                if stop.is_set():
+                                    return
+                                try:
+                                    out_q.put(batch, timeout=0.2)
+                                    break
+                                except Full:
+                                    continue
                     finally:
                         inner.shutdown(wait=False, cancel_futures=True)
             except Exception as exc:  # surface worker errors to the consumer
-                out_q.put(exc)
+                _put_until_stopped(exc)
             finally:
-                out_q.put(None)
+                _put_until_stopped(None)
+
+        def _put_until_stopped(item):
+            # the sentinel/exception must not be dropped while the consumer is
+            # alive (it would block on get() forever), nor block forever once
+            # the consumer has stopped
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.2)
+                    return
+                except Full:
+                    continue
 
         thread = threading.Thread(target=produce, daemon=True)
         thread.start()

@@ -74,7 +74,11 @@ class CheckpointManager:
         sign = 1 if self.mode == "min" else -1
         scored.sort(key=lambda e: sign * e["metric"])
         keep = {e["name"] for e in scored[: self.save_top_k]}
-        keep |= {e["name"] for e in self.manifest["entries"] if e["metric"] is None}
+        # metric-less saves (epochs without validation) only survive as 'last';
+        # keeping them all would defeat save_top_k and grow disk unboundedly
+        unscored = [e["name"] for e in self.manifest["entries"] if e["metric"] is None]
+        if unscored:
+            keep.add(unscored[-1])
         if self.manifest.get("last"):
             keep.add(self.manifest["last"])
         for e in list(self.manifest["entries"]):

@@ -103,6 +103,8 @@ class ClassificationTask(SupervisedTask):
         (reference ``load_img_classification_model``, gloria.py:97-133)."""
         num_cls = int(cfg.model.vision.num_targets or 1)
         name = cfg.model.vision.model_name or "resnet_50"
+        if name.startswith("gloria_"):
+            name = {"gloria_resnet50": "resnet_50", "gloria_resnet18": "resnet_18"}[name]
         if gloria_variables is not None:
             model = PretrainedImageClassifier(model_name=name, num_classes=num_cls)
             patch = {

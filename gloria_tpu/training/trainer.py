@@ -133,7 +133,9 @@ class Trainer:
             out = self.eval_step(state, _device_only(batch))
             metrics = out[0] if isinstance(out, tuple) else out
             host = {k: np.asarray(jax.device_get(v)) for k, v in metrics.items()}
-            collected.append(host)
+            # retain only ≤2-D metrics (logits/labels for the extractor);
+            # batched attention maps etc. would hold GBs of host RAM
+            collected.append({k: v for k, v in host.items() if np.ndim(v) <= 2})
             for k, v in host.items():
                 if np.ndim(v) == 0:
                     sums[k] = sums.get(k, 0.0) + float(v)
@@ -151,13 +153,15 @@ class Trainer:
             n = 0
             loss_sum = 0.0
             max_batches = self._limit(self.limit_train_batches, train_loader)
+            device_losses = []  # keep on device; a per-step float() would
+            # force a host sync and break JAX async dispatch
             for batch_idx, batch in enumerate(train_loader):
                 if max_batches is not None and batch_idx >= max_batches:
                     break
                 state, metrics = self.train_step(state, _device_only(batch))
                 self.global_step += 1
                 n += 1
-                loss_sum += float(metrics["loss"])
+                device_losses.append(metrics["loss"])
                 for cb in self.callbacks:
                     cb.on_train_batch_end(self, state, metrics, batch, batch_idx)
                 update_interval = int(self.cfg.train.update_interval or 100) if self.cfg.train else 100
@@ -166,6 +170,7 @@ class Trainer:
                     host["lr"] = self.scheduler.current_lr
                     self.logger.log(host, self.global_step, "train")
 
+            loss_sum = float(np.sum(jax.device_get(device_losses))) if device_losses else 0.0
             epoch_metrics = {"train_loss": loss_sum / max(n, 1), "epoch_time": time.time() - t0}
             if val_loader is not None and (epoch + 1) % self.check_val_every_n_epoch == 0:
                 epoch_metrics.update(self._run_eval(state, val_loader, "val"))
@@ -180,7 +185,8 @@ class Trainer:
 
             if self.checkpoints is not None:
                 self.checkpoints.save(
-                    {"params": state.params, "batch_stats": state.batch_stats},
+                    {"params": state.params, "batch_stats": state.batch_stats,
+                     "opt_state": state.opt_state, "step": state.step},
                     step=self.global_step, metrics=epoch_metrics, cfg=self.cfg,
                 )
             if self.early_stopping is not None:

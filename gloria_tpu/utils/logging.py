@@ -47,8 +47,9 @@ class MetricLogger:
             fieldnames = self._csv_writers[split].fieldnames
             row = {"step": step, "time": round(time.time(), 3)}
             row.update({k: metrics.get(k) for k in fieldnames if k not in ("step", "time")})
-            self._csv_writers[split].writerow(row)
-            self._csv_files[split].flush()
+            if any(v is not None for k, v in row.items() if k not in ("step", "time")):
+                self._csv_writers[split].writerow(row)
+                self._csv_files[split].flush()
             # keys not in the csv header (e.g. val metrics appearing after the
             # first epoch) must not be silently dropped: mirror the full row
             # to json-lines

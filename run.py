@@ -79,6 +79,9 @@ def apply_overrides(cfg, args) -> None:
         cfg.set_path("data.mask_mode", args.mask_mode)
     if args.mask_prob is not None:
         cfg.set_path("data.mask_prob", args.mask_prob)
+    if args.limit_batches is not None:
+        cfg.set_path("lightning.trainer.limit_train_batches", args.limit_batches)
+        cfg.set_path("lightning.trainer.limit_val_batches", args.limit_batches)
     if args.no_attn_vec:
         cfg.set_path("model.gloria.no_attn_vec", True)
     for key in ("no_attn_loss_weight", "attention_divergence_loss_weight",
@@ -133,14 +136,24 @@ def main(cfg, args) -> dict:
         example = device_batch(dm.collate("train")([dm.dataset("train")[0]] * 2))
         loc_cfg = cfg.lightning.evaluate_localization if cfg.lightning else None
         wil_cfg = cfg.lightning.weight_instances_by_localization if cfg.lightning else None
+        wants_attn = bool(loc_cfg or wil_cfg or (cfg.train and cfg.train.nvis))
         model, state, train_step, eval_step = builder.init_gloria(
             cfg, example, seed=int(cfg.random_seed or 0),
             dtype=jnp.bfloat16 if str(cfg.lightning.trainer.precision or "") in ("16", "bf16") else jnp.float32,
-            return_attn=bool(loc_cfg or wil_cfg),
+            return_attn=wants_attn,
         )
         if pretrained_vars is not None:
             state = state.replace(params=pretrained_vars["params"],
                                   batch_stats=pretrained_vars.get("batch_stats"))
+            if args.resume and "opt_state" in pretrained_vars:
+                # re-restore against the live state as the target so the
+                # optimizer pytree structure (optax namedtuples) is preserved
+                restored, _ = load_checkpoint(args.ckpt, target={
+                    "params": state.params, "batch_stats": state.batch_stats,
+                    "opt_state": state.opt_state, "step": state.step,
+                })
+                state = state.replace(opt_state=restored["opt_state"],
+                                      step=jnp.asarray(restored["step"], jnp.int32))
         callbacks = []
         if cfg.train and cfg.train.nvis:
             from gloria_tpu.training.plotting import AttentionPlotCallback
