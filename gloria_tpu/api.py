@@ -253,6 +253,7 @@ def load_gloria(
     device=None,
     cfg_override: Config | None = None,
     tokenizer: WordPieceTokenizer | None = None,
+    resnet_layers: tuple | None = None,
 ) -> GloriaModel:
     """Load from a registry name, a torch ``.ckpt`` (reference zoo), or a
     gloria_tpu orbax checkpoint directory."""
@@ -287,7 +288,7 @@ def load_gloria(
     bert_cfg = (cfg.model.text.bert_config or Config()) if cfg.model and cfg.model.text else Config()
     variables = torch_import.import_gloria(
         state_dict,
-        resnet_layers=_resnet_layers(cfg),
+        resnet_layers=resnet_layers or _resnet_layers(cfg),
         bert_layers=int(bert_cfg.num_layers or 12),
         bert_heads=int(bert_cfg.num_heads or 12),
         transformer_layers=int(cfg.model.image_transformer.num_layers) if cfg.model and cfg.model.image_transformer else 0,

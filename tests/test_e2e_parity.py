@@ -192,3 +192,41 @@ def test_full_pipeline_similarity_parity():
     # and the combined API result
     sims = gm.get_similarities(jnp.asarray(imgs), txts, "both")
     np.testing.assert_allclose(sims, (local_t + global_t) / 2, rtol=2e-3, atol=2e-3)
+
+
+def test_load_gloria_from_torch_lightning_ckpt(tmp_path):
+    """api.load_gloria must consume a reference-format Lightning .ckpt file
+    (hyper_parameters + gloria.-prefixed state_dict) end to end."""
+    bert, resnet, g_emb, l_emb = build_torch_reference()
+    state = reference_state_dict(bert, resnet, g_emb, l_emb)
+    hyper = {
+        "model": {"gloria": {"temp1": 4.0, "temp2": 5.0, "temp3": 10.0},
+                   "vision": {"model_name": "resnet_mini"},
+                   "text": {"embedding_dim": D_TEXT, "last_n_layers": 4, "agg_tokens": True,
+                             "aggregate_method": "sum",
+                             "bert_config": {"vocab_size": 120, "hidden_size": D_TEXT,
+                                              "num_layers": 3, "num_heads": 4,
+                                              "intermediate_size": 64,
+                                              "max_position_embeddings": 64}}},
+        "data": {"image": {"imsize": 64}, "text": {"word_num": 20}},
+        "transforms": {"norm": "half"},
+    }
+    ckpt_path = tmp_path / "reference_style.ckpt"
+    torch.save({"hyper_parameters": hyper, "state_dict": state}, ckpt_path)
+
+    from gloria_tpu.models import resnet as rn
+
+    rn.BACKBONES["resnet_mini"] = (dict(block=rn.Bottleneck, layers=(1, 1, 1, 1)), 2048, 1024)
+    from gloria_tpu.data.tokenizer import WordPieceTokenizer
+
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "no", "finding", "edema"]
+    gm = api.load_gloria(str(ckpt_path), tokenizer=WordPieceTokenizer(vocab),
+                         resnet_layers=(1, 1, 1, 1))
+    imgs = gm.process_img([(np.random.RandomState(1).rand(70, 70) * 255).astype("uint8")])
+    txts = gm.process_text(["no finding", "edema"])
+    sims = gm.get_similarities(imgs, txts)
+    assert sims.shape == (1, 2) and np.isfinite(sims).all()
+    # weights really came from the torch file
+    np.testing.assert_allclose(
+        np.asarray(gm.variables["params"]["img_encoder"]["global_embedder"]["bias"]),
+        g_emb.bias.detach().numpy(), rtol=1e-6)
