@@ -28,13 +28,21 @@ import time
 # via `python bench.py --cpu-baseline`: 0.077 pairs/sec); the reference torch
 # pipeline has no published numbers (BASELINE.md), so the north-star ratio is
 # computed against this CPU run of the identical program.  The TPU v5e run of
-# the same build measured 3756 pairs/sec (BENCH_r1).
+# the same build measures ~536 pairs/sec (value-materialized).
 CPU_BASELINE_PAIRS_PER_SEC = 0.077
 
 
 def build(smoke: bool, batch_override: int | None = None):
     import jax
     import jax.numpy as jnp
+
+    # persistent compilation cache: repeated bench invocations skip the
+    # multi-minute first compile
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
 
     from gloria_tpu.builder import default_pretrain_config, init_gloria
     from gloria_tpu.data.synthetic import make_synthetic_batch
@@ -67,16 +75,23 @@ def build(smoke: bool, batch_override: int | None = None):
 
 def measure(state, batch, train_step, batch_size: int, steps: int, warmup: int = 3):
     import jax
+    import jax.numpy as jnp
 
     for _ in range(warmup):
         state, metrics = train_step(state, batch)
-    jax.block_until_ready(metrics["loss"])
+    # IMPORTANT: through remote-execution tunnels (axon), block_until_ready
+    # can return before the computation finishes; only materializing a value
+    # derived from EVERY step gives honest wall-clock (measured: 4.97 ms/step
+    # "blocked" vs 88.6 ms/step materialized at B=48 on v5e).
+    float(metrics["loss"])
+    losses = []
     t0 = time.perf_counter()
     for _ in range(steps):
         state, metrics = train_step(state, batch)
-    jax.block_until_ready(metrics["loss"])
+        losses.append(metrics["loss"])
+    total = float(jnp.stack(losses).sum())
     dt = time.perf_counter() - t0
-    return batch_size * steps / dt, float(metrics["loss"])
+    return batch_size * steps / dt, total / steps
 
 
 def main() -> int:

@@ -51,12 +51,16 @@ def _nearest_matrix(in_size: int, out_size: int) -> np.ndarray:
 
 
 def _apply_separable(x: jnp.ndarray, mh: np.ndarray, mw: np.ndarray) -> jnp.ndarray:
-    """x: [..., H, W, C] → [..., H', W', C] via separable row/col matrices."""
+    """x: [..., H, W, C] → [..., H', W', C] via separable row/col matrices.
+
+    Contract in channels-first layout so the lane dimension is spatial, not
+    C: with C=3 images, lanes padded 3→128 made the NHWC contraction 31×
+    slower on v5e (65 ms vs 2 ms for 48×224²→299²)."""
     dtype = x.dtype
-    xf = x.astype(jnp.float32)
-    y = jnp.einsum("oh,...hwc->...owc", jnp.asarray(mh), xf)
-    y = jnp.einsum("pw,...owc->...opc", jnp.asarray(mw), y)
-    return y.astype(dtype)
+    xf = jnp.moveaxis(x.astype(jnp.float32), -1, -3)  # [..., C, H, W]
+    y = jnp.einsum("oh,...hw->...ow", jnp.asarray(mh), xf)
+    y = jnp.einsum("pw,...ow->...op", jnp.asarray(mw), y)
+    return jnp.moveaxis(y, -3, -1).astype(dtype)
 
 
 def resize_bilinear(x: jnp.ndarray, size: tuple[int, int], align_corners: bool = True) -> jnp.ndarray:
