@@ -119,6 +119,8 @@ class GLoRIA(nn.Module):
             model_name=cfg.model.vision.model_name or "resnet_50",
             output_dim=cfg.model.text.embedding_dim or 768,
             norm=bool(cfg.model.norm),
+            input_size=299 if cfg.model.vision.encoder_input_size is None
+            else (cfg.model.vision.encoder_input_size or None),
             dtype=self.dtype,
         )
         if cfg.model.image_position_embeddings:

@@ -26,6 +26,10 @@ class ImageEncoder(nn.Module):
     model_name: str = "resnet_50"
     output_dim: int = 768
     norm: bool = False
+    # the reference hardwires a bilinear 299x299 upsample before the backbone
+    # (vision_model.py:70), costing 1.78x the conv FLOPs of 224 inputs; keep
+    # 299 for parity, set to the crop size (or None to skip) for throughput
+    input_size: int | None = 299
     dtype: Any = jnp.float32
 
     @property
@@ -41,7 +45,8 @@ class ImageEncoder(nn.Module):
         ``get_embeddings``; otherwise the raw (pooled_feat, local_feat_map).
         """
         backbone, _, _ = make_backbone(self.model_name, dtype=self.dtype)
-        x = resize_bilinear(x, (299, 299), align_corners=True)
+        if self.input_size and x.shape[1] != self.input_size:
+            x = resize_bilinear(x, (self.input_size, self.input_size), align_corners=True)
         global_ft, local_ft = backbone(x, train=train)
         if not get_embeddings:
             return global_ft, local_ft
@@ -66,10 +71,13 @@ class ImageClassifier(nn.Module):
     num_classes: int = 5
     dtype: Any = jnp.float32
 
+    input_size: int | None = 299
+
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
         backbone, _, _ = make_backbone(self.model_name, dtype=self.dtype)
-        x = resize_bilinear(x, (299, 299), align_corners=True)
+        if self.input_size and x.shape[1] != self.input_size:
+            x = resize_bilinear(x, (self.input_size, self.input_size), align_corners=True)
         pooled, _ = backbone(x, train=train)
         return nn.Dense(self.num_classes, param_dtype=jnp.float32, name="classifier")(pooled)
 
