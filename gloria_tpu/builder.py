@@ -11,10 +11,10 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from .configs import Config, load_config
+from .configs import Config
 from .models.gloria_model import GLoRIA
 from .training import optim
-from .training.train import TrainState, create_train_state, make_pretrain_steps
+from .training.train import create_train_state, make_pretrain_steps
 
 
 def default_pretrain_config() -> Config:

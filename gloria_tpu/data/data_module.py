@@ -9,10 +9,8 @@ from __future__ import annotations
 
 from typing import Any, Callable
 
-import numpy as np
-
 from ..configs import Config
-from .collate import GloriaCollate, device_batch
+from .collate import GloriaCollate
 from .image_dataset import (
     CheXpertImageDataset, PneumoniaImageDataset, PneumothoraxImageDataset,
     SupervisedCollate, SyntheticImageDataset,

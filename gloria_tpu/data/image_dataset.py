@@ -26,7 +26,7 @@ import numpy as np
 
 from .. import constants
 from ..configs import Config
-from .transforms import build_transformation, letterbox_resize, random_affine, to_rgb
+from .transforms import build_transformation, letterbox_resize, to_rgb
 
 
 def read_dicom(img_path: str) -> np.ndarray:

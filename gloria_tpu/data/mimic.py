@@ -32,17 +32,14 @@ import json
 import os
 import pickle
 import random
-import re
 import subprocess
 import zipfile
 from concurrent.futures import ThreadPoolExecutor
-from pathlib import Path
 
 import numpy as np
 
 from ..configs import Config
-from .data_module import DataModule, _PretrainModule
-from .collate import GloriaCollate
+from .data_module import _PretrainModule
 from .text_masking import build_masker
 
 

@@ -13,7 +13,6 @@ sentences so the full pipeline (tokenize → collate → train) runs hermeticall
 
 from __future__ import annotations
 
-import os
 import pickle
 import re
 from pathlib import Path

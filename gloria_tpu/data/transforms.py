@@ -17,7 +17,6 @@ layout).
 
 from __future__ import annotations
 
-import math
 from typing import Callable
 
 import cv2

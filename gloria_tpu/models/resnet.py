@@ -16,7 +16,7 @@ Differences from the torch implementation are deliberate TPU choices:
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Callable, Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -37,7 +37,6 @@ Numerical-parity notes (warts preserved deliberately):
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax

@@ -16,7 +16,6 @@ scales as one pjit'd SPMD computation over a ``jax.sharding.Mesh``:
 
 from __future__ import annotations
 
-import math
 from typing import Any
 
 import jax

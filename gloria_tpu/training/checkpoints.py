@@ -13,7 +13,6 @@ Format: orbax PyTreeCheckpointer per step directory + a json manifest.
 from __future__ import annotations
 
 import json
-import math
 import shutil
 from pathlib import Path
 from typing import Any

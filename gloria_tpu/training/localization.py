@@ -20,7 +20,6 @@ Equivalents of the reference callbacks
 
 from __future__ import annotations
 
-import os
 from collections import defaultdict
 from pathlib import Path
 

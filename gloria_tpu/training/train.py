@@ -10,7 +10,6 @@ per (shapes, mesh) pair.  Sharding comes from the placement of the inputs
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable
 
 import jax
@@ -18,7 +17,6 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
-from ..configs import Config
 from ..models.gloria_model import GLoRIA
 
 
