@@ -3,6 +3,8 @@
 import json
 import os
 import subprocess
+
+import pytest
 import sys
 from pathlib import Path
 
@@ -37,6 +39,7 @@ CFG = {
 }
 
 
+@pytest.mark.slow
 def test_run_driver_pretrain_smoke(tmp_path):
     cfg_path = tmp_path / "cfg.yaml"
     cfg_path.write_text(yaml.safe_dump(CFG))

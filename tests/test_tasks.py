@@ -2,6 +2,7 @@
 pretrained-encoder transplant."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -51,6 +52,7 @@ def test_classification_task_trains():
     assert 0 <= m["auroc"] <= 1 and 0 <= m["auprc"] <= 1
 
 
+@pytest.mark.slow
 def test_classification_with_pretrained_encoder_and_freeze():
     from gloria_tpu.models import GLoRIA
 
@@ -95,6 +97,7 @@ def test_classification_with_pretrained_encoder_and_freeze():
     assert np.abs(np.asarray(state.params["classifier"]["kernel"]) - head_before).max() > 0
 
 
+@pytest.mark.slow
 def test_segmentation_task_trains():
     cfg = task_cfg(loss_type="MixedLoss")
     model, _ = SegmentationTask.build_model(Config({"model": {"vision": {"model_name": "resnet_18"}}}))
