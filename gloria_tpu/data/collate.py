@@ -54,11 +54,16 @@ class GloriaCollate:
         word_num = int(cfg.data.text.word_num or 97)
         self.text = TextProcessor(tokenizer, num_words=word_num)
         self.sort_by_len = sort_by_len
-        # opt-in native C++ ingest: fused letterbox+normalize in one call per
-        # batch (eval splits only — train needs the augmentation chain);
+        # opt-in native C++ ingest: fused letterbox(+crop+flip)+normalize in
+        # one call per batch. Covers eval, and train when the augmentation
+        # chain is only random-crop/random-hflip (no affine/jitter); crop
+        # offsets and flips are sampled in Python so the distribution matches.
         # cv2 stays the default for bit-parity with the reference.
         self.native_ingest = False
-        if cfg.data.native_ingest and split != "train" and (cfg.transforms.norm or "half") == "half"                 and not (cfg.transforms and cfg.transforms.random_crop):
+        self._native_rng = np.random.RandomState(seed)
+        t = cfg.transforms or Config()
+        simple_augs = t.random_affine is None and t.color_jitter is None
+        if cfg.data.native_ingest and (t.norm or "half") == "half" and simple_augs:
             from . import native
 
             self.native_ingest = native.available()
@@ -67,11 +72,25 @@ class GloriaCollate:
         if self.native_ingest:
             from . import native
 
-            return native.letterbox_normalize_batch(
-                [im if im.dtype == np.uint8 else ((im - im.min()) / (im.max() - im.min() + 1e-8) * 255).astype(np.uint8)
-                 for im in images],
-                self.imsize,
-            )
+            imgs_u8 = [im if im.dtype == np.uint8 else
+                       ((im - im.min()) / (im.max() - im.min() + 1e-8) * 255).astype(np.uint8)
+                       for im in images]
+            n = len(imgs_u8)
+            if self.crop == self.imsize and self.split != "train":
+                return native.letterbox_normalize_batch(imgs_u8, self.imsize)
+            if self.split == "train":
+                max_off = self.imsize - self.crop
+                tops = self._native_rng.randint(0, max_off + 1, size=n)
+                lefts = self._native_rng.randint(0, max_off + 1, size=n)
+                p_flip = float((self.cfg.transforms or Config()).random_horizontal_flip or 0.0)
+                flips = (self._native_rng.rand(n) < p_flip).astype(np.int32)
+            else:  # eval: deterministic center crop
+                off = int(round((self.imsize - self.crop) / 2.0))
+                tops = np.full(n, off)
+                lefts = np.full(n, off)
+                flips = np.zeros(n, np.int32)
+            return native.letterbox_crop_normalize_batch(
+                imgs_u8, self.imsize, self.crop, tops, lefts, flips)
         out = []
         for im in images:
             if im.dtype != np.uint8:

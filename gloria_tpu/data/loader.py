@@ -79,15 +79,20 @@ class PrefetchLoader:
 
         def produce():
             try:
-                with ThreadPoolExecutor(self.num_workers) as pool:
+                # one builder thread per in-flight batch: a two-level fan-out
+                # (per-item pool.map under concurrent builds) thrashes the GIL
+                # and measured SLOWER than sequential; whole-batch builders
+                # scale because the heavy per-item work (cv2 decode/resize,
+                # the native ingest call) releases the GIL
+                if True:
                     def build(idxs):
-                        items = list(pool.map(lambda i: self.dataset[int(i)], idxs))
+                        items = [self.dataset[int(i)] for i in idxs]
                         return self.collate(items)
 
                     pending = []
                     it = iter(batch_idxs)
-                    # keep `prefetch` collates in flight
-                    inner = ThreadPoolExecutor(self.prefetch)
+                    # keep `prefetch` batch builds in flight
+                    inner = ThreadPoolExecutor(max(self.prefetch, min(self.num_workers, 4)))
                     try:
                         for _ in range(self.prefetch):
                             idxs = next(it, None)

@@ -37,8 +37,17 @@ def _load():
             ctypes.c_int, ctypes.c_int, ctypes.c_float, ctypes.c_float,
             ctypes.c_int, ctypes.POINTER(ctypes.c_float),
         ]
+        lib.letterbox_crop_normalize_batch.argtypes = [
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.c_float, ctypes.c_float, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float),
+        ]
         lib.ingest_abi_version.restype = ctypes.c_int
-        assert lib.ingest_abi_version() == 1
+        assert lib.ingest_abi_version() == 2
         _lib = lib
     except Exception:
         _lib = None
@@ -69,6 +78,35 @@ def letterbox_normalize_batch(
     lib.letterbox_normalize_batch(
         ptrs, heights, widths, n, size, mean, std,
         num_threads or (os.cpu_count() or 4),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return out
+
+
+def letterbox_crop_normalize_batch(
+    images: list[np.ndarray], size: int, crop_size: int,
+    crop_tops: np.ndarray, crop_lefts: np.ndarray, flips: np.ndarray,
+    mean: float = 0.5, std: float = 0.5, num_threads: int = 0,
+) -> np.ndarray:
+    """Training path: letterbox to `size`, crop `crop_size` at the given
+    offsets, optional horizontal flip, normalize — one fused pass."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native ingest library unavailable; run `make -C native`")
+    n = len(images)
+    images = [np.ascontiguousarray(im if im.ndim == 2 else im[..., 0], np.uint8) for im in images]
+    ptrs = (ctypes.POINTER(ctypes.c_uint8) * n)(
+        *[im.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)) for im in images]
+    )
+    heights = (ctypes.c_int * n)(*[im.shape[0] for im in images])
+    widths = (ctypes.c_int * n)(*[im.shape[1] for im in images])
+    tops = (ctypes.c_int * n)(*[int(v) for v in crop_tops])
+    lefts = (ctypes.c_int * n)(*[int(v) for v in crop_lefts])
+    fl = (ctypes.c_int * n)(*[int(v) for v in flips])
+    out = np.empty((n, crop_size, crop_size, 3), np.float32)
+    lib.letterbox_crop_normalize_batch(
+        ptrs, heights, widths, n, size, crop_size, tops, lefts, fl,
+        mean, std, num_threads or (os.cpu_count() or 4),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
     )
     return out

@@ -81,9 +81,11 @@ void resize_area(const uint8_t* src, int in_h, int in_w, float* dst, int out_h,
   }
 }
 
-// One image: letterbox to (size, size), normalize, write NHWC float32 x3.
-void process_one(const uint8_t* img, int in_h, int in_w, int size, float mean,
-                 float inv_std, float* out /* size*size*3 */) {
+// One image: letterbox to (size, size), optional crop (crop_size with given
+// top/left offsets) and horizontal flip, normalize, write NHWC float32 x3.
+void process_one(const uint8_t* img, int in_h, int in_w, int size, int crop_size,
+                 int crop_top, int crop_left, int flip, float mean,
+                 float inv_std, float* out /* crop*crop*3 */) {
   int rh, rw;
   if (in_h >= in_w) {
     rh = size;
@@ -99,17 +101,25 @@ void process_one(const uint8_t* img, int in_h, int in_w, int size, float mean,
 
   const int pad_top = (size - rh) / 2;
   const int pad_left = (size - rw) / 2;
+  const int cs = crop_size > 0 ? crop_size : size;
   const float zero_val = (0.0f / 255.0f - mean) * inv_std;
-  const size_t plane = static_cast<size_t>(size) * size * 3;
+  const size_t plane = static_cast<size_t>(cs) * cs * 3;
   for (size_t i = 0; i < plane; ++i) out[i] = zero_val;
-  for (int y = 0; y < rh; ++y) {
-    float* orow = out + (static_cast<size_t>(y + pad_top) * size + pad_left) * 3;
-    const float* irow = resized.data() + static_cast<size_t>(y) * rw;
-    for (int x = 0; x < rw; ++x) {
-      const float v = (irow[x] / 255.0f - mean) * inv_std;
-      orow[x * 3 + 0] = v;
-      orow[x * 3 + 1] = v;
-      orow[x * 3 + 2] = v;
+  // write only the overlap of the crop window with the resized content
+  for (int oy = 0; oy < cs; ++oy) {
+    const int ly = oy + crop_top;          // letterbox y
+    const int sy = ly - pad_top;           // resized-content y
+    if (sy < 0 || sy >= rh) continue;
+    float* orow = out + static_cast<size_t>(oy) * cs * 3;
+    const float* irow = resized.data() + static_cast<size_t>(sy) * rw;
+    for (int ox = 0; ox < cs; ++ox) {
+      const int lx = (flip ? cs - 1 - ox : ox) + crop_left;
+      const int sx = lx - pad_left;
+      if (sx < 0 || sx >= rw) continue;
+      const float v = (irow[sx] / 255.0f - mean) * inv_std;
+      orow[ox * 3 + 0] = v;
+      orow[ox * 3 + 1] = v;
+      orow[ox * 3 + 2] = v;
     }
   }
 }
@@ -129,7 +139,33 @@ void letterbox_normalize_batch(const uint8_t** images, const int* heights,
   auto worker = [&]() {
     int i;
     while ((i = next.fetch_add(1)) < n) {
-      process_one(images[i], heights[i], widths[i], size, mean, inv_std,
+      process_one(images[i], heights[i], widths[i], size, 0, 0, 0, 0, mean,
+                  inv_std, out + static_cast<size_t>(i) * stride);
+    }
+  };
+  const int t = std::max(1, std::min(num_threads, n));
+  std::vector<std::thread> threads;
+  threads.reserve(t);
+  for (int k = 0; k < t; ++k) threads.emplace_back(worker);
+  for (auto& th : threads) th.join();
+}
+
+// Training variant: letterbox + per-image crop (offsets sampled by the
+// caller) + optional horizontal flip + normalize, one pass.
+void letterbox_crop_normalize_batch(const uint8_t** images, const int* heights,
+                                    const int* widths, int n, int size,
+                                    int crop_size, const int* crop_tops,
+                                    const int* crop_lefts, const int* flips,
+                                    float mean, float std, int num_threads,
+                                    float* out) {
+  const float inv_std = 1.0f / std;
+  const size_t stride = static_cast<size_t>(crop_size) * crop_size * 3;
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    int i;
+    while ((i = next.fetch_add(1)) < n) {
+      process_one(images[i], heights[i], widths[i], size, crop_size,
+                  crop_tops[i], crop_lefts[i], flips[i], mean, inv_std,
                   out + static_cast<size_t>(i) * stride);
     }
   };
@@ -140,6 +176,6 @@ void letterbox_normalize_batch(const uint8_t** images, const int* heights,
   for (auto& th : threads) th.join();
 }
 
-int ingest_abi_version() { return 1; }
+int ingest_abi_version() { return 2; }
 
 }  // extern "C"
