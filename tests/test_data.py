@@ -137,3 +137,46 @@ def test_native_ingest_matches_python_path():
     ref = np.stack([normalize(np.repeat(letterbox_resize(im, 64)[..., None], 3, -1), "half") for im in imgs])
     assert out.shape == (2, 64, 64, 3)
     np.testing.assert_allclose(out, ref, atol=0.03)
+
+
+def test_native_train_ingest_crop_flip_parity():
+    from gloria_tpu.data import native
+
+    if not native.available():
+        pytest.skip("native ingest library not built")
+    rng = np.random.RandomState(0)
+    imgs = [(rng.rand(320, 280) * 255).astype(np.uint8) for _ in range(4)]
+    tops = np.asarray([3, 0, 31, 10])
+    lefts = np.asarray([5, 32, 0, 7])
+    flips = np.asarray([0, 1, 0, 1])
+    out = native.letterbox_crop_normalize_batch(imgs, 256, 224, tops, lefts, flips)
+    refs = []
+    for im, t, l, f in zip(imgs, tops, lefts, flips):
+        lb = letterbox_resize(np.repeat(im[..., None], 3, -1), 256)
+        crop = lb[t : t + 224, l : l + 224]
+        if f:
+            crop = crop[:, ::-1]
+        refs.append(normalize(np.ascontiguousarray(crop), "half"))
+    np.testing.assert_allclose(out, np.stack(refs), atol=0.03)
+
+
+def test_collate_uses_native_train_path():
+    from gloria_tpu.data import native
+
+    if not native.available():
+        pytest.skip("native ingest library not built")
+    ds = SyntheticPretrainingDataset(size=8, imsize=80)
+    tok = WordPieceTokenizer.from_corpus(ds.corpus())
+    cfg = data_cfg()
+    cfg.data.native_ingest = True
+    cfg.transforms.random_horizontal_flip = 0.5
+    coll = GloriaCollate(cfg, "train", tok, seed=0)
+    assert coll.native_ingest
+    batch = coll([ds[i] for i in range(4)])
+    assert batch["imgs"].shape == (4, 48, 48, 3)
+    assert np.isfinite(batch["imgs"]).all()
+    # affine/jitter configs must fall back to the python path
+    cfg2 = data_cfg()
+    cfg2.data.native_ingest = True
+    cfg2.transforms.random_affine = {"degrees": 5, "translate": [0.1, 0.1], "scale": [0.9, 1.1]}
+    assert not GloriaCollate(cfg2, "train", tok, seed=0).native_ingest
