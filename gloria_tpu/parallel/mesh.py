@@ -30,6 +30,14 @@ def create_mesh(
 ) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only {len(devices)} "
+                f"device(s) are visible on platform "
+                f"{devices[0].platform if devices else '?'}; for a virtual mesh "
+                "set XLA_FLAGS=--xla_force_host_platform_device_count=<n> and "
+                "jax.config.update('jax_platforms', 'cpu') BEFORE jax backend init"
+            )
         devices = devices[:n_devices]
     n = len(devices)
     if n % fsdp:

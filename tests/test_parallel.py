@@ -71,3 +71,12 @@ def test_param_spec_rules():
     assert param_spec(("x",), small, fsdp_size=2) == ()
     odd = np.zeros((999, 7), np.float32)  # divisible by nothing → replicated
     assert param_spec(("x",), odd, fsdp_size=2) == () or True
+
+
+def test_create_mesh_raises_on_too_few_devices():
+    # Regression for round-1 MULTICHIP failure: asking for an 8-device mesh
+    # with fewer visible devices must error loudly, not silently truncate.
+    import pytest
+
+    with pytest.raises(ValueError, match="device"):
+        create_mesh(n_devices=len(jax.devices()) + 1)
