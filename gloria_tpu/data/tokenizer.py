@@ -64,9 +64,13 @@ def _is_punctuation(ch: str) -> bool:
 
 
 def basic_tokenize(text: str, lower: bool = False) -> list[str]:
-    """HF BasicTokenizer-equivalent: whitespace split then punctuation split."""
+    """HF BasicTokenizer-equivalent: whitespace split then punctuation split.
+
+    ``lower=True`` also strips accents, matching HF's coupling of
+    ``strip_accents`` to ``do_lower_case`` (BertTokenizer default)."""
     if lower:
-        text = text.lower()
+        text = unicodedata.normalize("NFD", text.lower())
+        text = "".join(ch for ch in text if unicodedata.category(ch) != "Mn")
     out: list[str] = []
     for tok in text.strip().split():
         current = []

@@ -31,10 +31,10 @@ jax.config.update("jax_default_matmul_precision", "highest")
 D_TEXT = 32
 
 
-def build_torch_reference():
+def build_torch_reference(vocab_size: int = 120):
     torch.manual_seed(0)
     hf_cfg = transformers.BertConfig(
-        vocab_size=120, hidden_size=D_TEXT, num_hidden_layers=3, num_attention_heads=4,
+        vocab_size=vocab_size, hidden_size=D_TEXT, num_hidden_layers=3, num_attention_heads=4,
         intermediate_size=64, max_position_embeddings=64, type_vocab_size=2,
     )
     bert = transformers.BertModel(hf_cfg).eval()

@@ -1,0 +1,237 @@
+"""AUROC-level zero-shot parity + tokenizer equivalence vs HF.
+
+Round-1 parity was asserted at 2e-3 *similarity* tolerance only; AUROC is a
+rank statistic, so this file drives the FULL zero-shot protocol of the
+reference (``/root/reference/gloria/gloria.py:240-306``: prompt-grammar
+sampling → per-class similarities → max over prompts → z-normalize across
+classes → accuracy / per-class AUROC) independently in torch and through
+``gloria_tpu.evaluation.evaluate_zero_shot``, asserting *identical* rank
+metrics — plus WordPiece-id equivalence of our self-contained tokenizer
+against HF ``BertTokenizer`` (``gloria/models/gloria_model.py:70-77``
+tokenizes with the HF AutoTokenizer; identical token ids are a precondition
+of any zero-shot parity claim).
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+import jax
+
+torch = pytest.importorskip("torch")
+import transformers
+
+from gloria_tpu import api, constants, evaluation
+from gloria_tpu.configs import Config
+from gloria_tpu.data.tokenizer import WordPieceTokenizer, clean_report
+from gloria_tpu.utils import torch_import
+from test_e2e_parity import (
+    D_TEXT,
+    build_torch_reference,
+    reference_state_dict,
+    torch_image_forward,
+    torch_local_similarities,
+    torch_text_forward,
+)
+
+jax.config.update("jax_default_matmul_precision", "highest")
+
+
+# ---------------------------------------------------------------------------
+# tokenizer equivalence vs HF BertTokenizer
+# ---------------------------------------------------------------------------
+
+def _grammar_corpus() -> list[str]:
+    """Every severity×subtype×location sentence of the CheXpert prompt
+    grammar (reference constants.py:77-169) — the exact strings zero-shot
+    classification tokenizes."""
+    sents = []
+    for cls in constants.CHEXPERT_CLASS_PROMPTS.values():
+        keys = list(cls.keys())
+        for k0 in cls[keys[0]]:
+            for k1 in cls[keys[1]]:
+                for k2 in cls[keys[2]]:
+                    sents.append(f"{k0} {k1} {k2}")
+    return sents
+
+
+def _wordpiece_vocab_for(corpus: list[str]) -> list[str]:
+    """A vocab that *forces* multi-piece splits: whole words for half the
+    corpus vocabulary, prefix+##suffix pieces for the rest, plus chars."""
+    words = sorted({w for s in corpus for w in s.lower().split()})
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+    for i, w in enumerate(words):
+        if i % 2 == 0 or len(w) < 4:
+            vocab.append(w)
+        else:  # split point: force the greedy matcher to work
+            cut = len(w) // 2
+            vocab.extend([w[:cut], "##" + w[cut:]])
+    chars = sorted({c for w in words for c in w})
+    vocab += chars + ["##" + c for c in chars] + list(".,-;:()")
+    seen, out = set(), []
+    for t in vocab:
+        if t not in seen:
+            seen.add(t)
+            out.append(t)
+    return out
+
+
+def test_tokenizer_matches_hf_bert(tmp_path):
+    corpus = _grammar_corpus()
+    assert len(corpus) > 100  # the grammar cross-product is non-trivial
+    vocab = _wordpiece_vocab_for(corpus)
+    vocab_file = tmp_path / "vocab.txt"
+    vocab_file.write_text("\n".join(vocab) + "\n")
+
+    hf = transformers.BertTokenizer(vocab_file=str(vocab_file), do_lower_case=True)
+    ours = WordPieceTokenizer.from_vocab_file(vocab_file, lower=True)
+
+    edge_cases = [
+        "Mild, left-sided EDEMA at the base.",    # punctuation + case
+        "café au lait opacity",              # accents (HF strips under lowercase)
+        "pneumo" + "x" * 120,                     # > max_chars_per_word → [UNK]
+        "  double  spaces\tand\nnewlines ",
+        "unknownlongword edema",
+        "1. mild edema 2. no effusion",
+    ]
+    for text in corpus + edge_cases:
+        assert ours.tokenize(text) == hf.tokenize(text), text
+        enc_hf = hf(text, max_length=32, padding="max_length", truncation=True)
+        enc_ours = ours.encode(text, max_length=32)
+        assert enc_ours["input_ids"].tolist() == enc_hf["input_ids"], text
+        assert enc_ours["attention_mask"].tolist() == enc_hf["attention_mask"], text
+
+
+# ---------------------------------------------------------------------------
+# full zero-shot protocol: identical rank metrics in torch and gloria_tpu
+# ---------------------------------------------------------------------------
+
+def _torch_zero_shot(bert, resnet, g_emb, l_emb, imgs_jax, prompt_mapping,
+                     class_names, num_words):
+    """The reference zero-shot assembly (gloria.py:240-275) on the torch
+    model: per class mean(local, global) sims → max over prompts; then the
+    caller z-normalizes the stacked matrix."""
+    t_imgs = torch.from_numpy(np.asarray(imgs_jax).transpose(0, 3, 1, 2))
+    img_g_t, img_l_t = torch_image_forward(resnet, g_emb, l_emb, t_imgs)
+    gl_n = img_g_t / img_g_t.norm(dim=-1, keepdim=True)
+
+    cls_scores = []
+    for cls in class_names:
+        txts = prompt_mapping[cls]
+        ids = torch.from_numpy(np.asarray(txts["caption_ids"], np.int64))
+        attn = torch.from_numpy(np.asarray(txts["attention_mask"], np.int64))
+        tokens = [
+            [t for t in seq]
+            for seq in _ids_to_tokens(txts["caption_ids"], txts["tokens_list"])
+        ]
+        word_t, sent_t, cap_lens_t = torch_text_forward(bert, ids, attn, tokens, num_words)
+        assert cap_lens_t == list(txts["cap_lens"])
+        local = torch_local_similarities(img_l_t, word_t, cap_lens_t).numpy()
+        tx_n = sent_t / sent_t.norm(dim=-1, keepdim=True)
+        global_ = (gl_n @ tx_n.T).numpy()
+        sims = (local + global_) / 2
+        cls_scores.append(sims.max(axis=1))
+    return np.stack(cls_scores, axis=1)  # [N, C]
+
+
+def _ids_to_tokens(ids, tokens_list):
+    # tokens were recorded at process_text time; just pass them through
+    return tokens_list
+
+
+VOCAB_CAP = 160
+
+
+def test_zero_shot_protocol_auroc_parity():
+    bert, resnet, g_emb, l_emb = build_torch_reference(vocab_size=VOCAB_CAP)
+    state = reference_state_dict(bert, resnet, g_emb, l_emb)
+    variables = torch_import.import_gloria(state, resnet_layers=(1, 1, 1, 1),
+                                           bert_layers=3, bert_heads=4)
+
+    num_words = 25
+    cfg = Config({
+        "model": {"gloria": {"temp1": 4.0, "temp2": 5.0, "temp3": 10.0},
+                   "vision": {"model_name": "resnet_mini"},
+                   "text": {"embedding_dim": D_TEXT, "last_n_layers": 4, "agg_tokens": True,
+                             "aggregate_method": "sum",
+                             "bert_config": {"vocab_size": 0,  # set below
+                                              "hidden_size": D_TEXT,
+                                              "num_layers": 3, "num_heads": 4,
+                                              "intermediate_size": 64,
+                                              "max_position_embeddings": 64}}},
+        "data": {"image": {"imsize": 64}, "text": {"word_num": num_words}},
+        "transforms": {"norm": "half"},
+    })
+    from gloria_tpu.models import resnet as rn
+
+    rn.BACKBONES["resnet_mini"] = (dict(block=rn.Bottleneck, layers=(1, 1, 1, 1)), 2048, 1024)
+
+    # tokenizer over the grammar corpus; ids must stay < the tiny BERT vocab
+    tokenizer = WordPieceTokenizer.from_corpus(_grammar_corpus(), lower=True)
+    assert tokenizer.vocab_size <= VOCAB_CAP, "grammar corpus vocab outgrew the tiny BERT"
+    cfg.model.text.bert_config["vocab_size"] = VOCAB_CAP
+
+    gm = api.GloriaModel(cfg, variables, tokenizer=tokenizer)
+
+    # identical prompt sampling on both sides
+    random.seed(1234)
+    class_names = list(constants.CHEXPERT_CLASS_PROMPTS.keys())
+    n_images, n_prompts = 16, 3
+
+    rng = np.random.RandomState(7)
+    raw_imgs = [(rng.rand(72, 72) * 255).astype(np.uint8) for _ in range(n_images)]
+    labels = np.eye(len(class_names), dtype=np.float32)[
+        rng.randint(0, len(class_names), size=n_images)]
+
+    # ---- gloria_tpu: the shipped evaluation driver --------------------------
+    random.seed(1234)
+    result = evaluation.evaluate_zero_shot(
+        gm, raw_imgs, labels, class_names, n_prompts=n_prompts, batch_size=7)
+
+    # ---- torch reference assembly -------------------------------------------
+    random.seed(1234)
+    prompts = api.generate_chexpert_class_prompts(n=n_prompts)
+    prompts = {c: prompts[c] for c in class_names}
+    mapping = {}
+    for cls, texts in prompts.items():
+        txts = gm.process_text(texts)
+        # process_text runs clean_report first (reference GLoRIA.process_text
+        # cleans every input, prompts included) — mirror it for the token lists
+        enc_tokens = [gm.tokenizer.encode(clean_report(t_), num_words)["tokens"]
+                      for t_ in texts]
+        txts["tokens_list"] = enc_tokens
+        mapping[cls] = txts
+    imgs_processed = gm.process_img(raw_imgs)
+    arr_t = _torch_zero_shot(bert, resnet, g_emb, l_emb, imgs_processed,
+                             mapping, class_names, num_words)
+    arr_t = (arr_t - arr_t.mean(axis=0)) / arr_t.std(axis=0)
+
+    pred_t = arr_t.argmax(axis=1)
+    truth = labels.argmax(axis=1)
+    accuracy_t = float((pred_t == truth).mean())
+
+    from sklearn.metrics import roc_auc_score
+
+    aurocs_t = {}
+    for i, cls in enumerate(class_names):
+        y = labels[:, i]
+        if len(np.unique(y)) > 1:
+            aurocs_t[cls] = float(roc_auc_score(y, arr_t[:, i]))
+
+    # ---- rank-level identity --------------------------------------------------
+    np.testing.assert_allclose(result["class_scores"], arr_t, rtol=2e-3, atol=2e-3)
+    # AUROC equality is implied by identical per-class image rankings, and
+    # accuracy by identical per-image class argmax — assert both directly
+    # so a failure pinpoints the flipped rank
+    assert np.array_equal(np.argsort(result["class_scores"], axis=0, kind="stable"),
+                          np.argsort(arr_t, axis=0, kind="stable"))
+    assert np.array_equal(result["class_scores"].argmax(axis=1), pred_t)
+
+    assert result["accuracy"] == accuracy_t
+    assert set(result["auroc_per_class"]) == set(aurocs_t)
+    for cls in aurocs_t:
+        assert result["auroc_per_class"][cls] == aurocs_t[cls], cls
+    # the protocol must actually rank (degenerate all-equal scores would
+    # trivially "match"); any real signal puts AUROC off exactly 0.5 somewhere
+    assert any(v != 0.5 for v in aurocs_t.values())
