@@ -119,20 +119,75 @@ class MimicCxrFiler(PhysioNetFiler):
         with open(path, errors="ignore") as fh:
             return fh.read()
 
-    def save_image_from_dicom(self, subject_id, study_id, dicom_id, imsize: int = 512) -> str:
-        """DICOM → resized uint8 array cache (reference
-        ``save_ptimage_from_dicom``, mimic_data.py:193-235 — .npy, not .pt)."""
-        cache = self.image_cache_path(dicom_id)
-        if os.path.exists(cache):
-            return cache
+    def nifti_path(self, dicom_id) -> str:
+        return self.get_full_path(f"nifti_cache/{dicom_id}.nii")
+
+    def save_nifti_from_dicom(self, subject_id, study_id, dicom_id,
+                              process_function=None, remove_dicom: bool = False) -> str:
+        """DICOM → NIfTI intermediate (reference ``save_nifti_from_dicom``,
+        mimic_data.py:167-184); ``process_function`` is the registration hook
+        applied to the raw pixel array before serialization."""
+        out = self.nifti_path(dicom_id)
+        if os.path.exists(out):
+            return out
+        path = self._fetch_dicom(subject_id, study_id, dicom_id)
+        img = self._read_dicom_with_retry(path, subject_id, study_id, dicom_id)
+        if process_function is not None:
+            img = process_function(img)
+        from .nifti import save_nifti
+
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        save_nifti(out, np.asarray(img, np.int16))
+        if remove_dicom and os.path.exists(path):
+            os.remove(path)
+        return out
+
+    def _fetch_dicom(self, subject_id, study_id, dicom_id) -> str:
         rel = self.dicom_relpath(subject_id, study_id, dicom_id)
         path = self.get_full_path(rel)
         if not os.path.exists(path):
             self.download_file(rel, verbose=False)
+        return path
+
+    def _read_dicom_with_retry(self, path, subject_id, study_id, dicom_id) -> np.ndarray:
+        """Decode with the reference's corrupt-file recovery
+        (mimic_data.py:195-209): on the first decode ValueError, delete the
+        file, re-download once, and retry; any further failure propagates."""
         from .image_dataset import read_dicom
+
+        try:
+            return read_dicom(path)
+        except ValueError:
+            if os.path.exists(path):
+                os.remove(path)
+            rel = self.dicom_relpath(subject_id, study_id, dicom_id)
+            self.download_file(rel, verbose=False)
+            return read_dicom(path)
+
+    def save_image_from_dicom(self, subject_id, study_id, dicom_id, imsize: int = 512,
+                              via_nifti: bool = False, process_function=None) -> str:
+        """DICOM → resized uint8 array cache (reference
+        ``save_ptimage_from_dicom``, mimic_data.py:193-235 — .npy, not .pt).
+
+        ``via_nifti`` routes through the optional NIfTI(+registration) stage
+        (reference ``save_ptimage_from_nifti``, mimic_data.py:214-227)."""
+        cache = self.image_cache_path(dicom_id)
+        if os.path.exists(cache):
+            return cache
         from .transforms import letterbox_resize
 
-        img = letterbox_resize(read_dicom(path), imsize)
+        if via_nifti:
+            from .nifti import load_nifti
+
+            nii = self.save_nifti_from_dicom(subject_id, study_id, dicom_id,
+                                             process_function=process_function)
+            img = np.asarray(load_nifti(nii))
+        else:
+            path = self._fetch_dicom(subject_id, study_id, dicom_id)
+            img = self._read_dicom_with_retry(path, subject_id, study_id, dicom_id)
+            if process_function is not None:
+                img = process_function(img)
+        img = letterbox_resize(img, imsize)
         os.makedirs(os.path.dirname(cache), exist_ok=True)
         np.save(cache, img)
         return cache
@@ -183,12 +238,32 @@ def split_subjects(subject_ids, ratios=(0.8, 0.1, 0.1), seed: int = 0):
 
 
 def prepare_images_parallel(filer: MimicCxrFiler, records, imsize: int = 512,
-                            num_workers: int | None = None) -> list[str]:
+                            num_workers: int | None = None,
+                            via_nifti: bool = False, process_function=None,
+                            password_provider=None) -> list[str]:
     """Parallel DICOM→cache conversion (reference mp.Pool.imap,
-    mimic_data.py:555-564)."""
+    mimic_data.py:555-564).
+
+    ``password_provider`` mirrors the reference's retry-on-password-failure
+    loop (mimic_data.py:549-567): on a ``DownloadError`` it is called for new
+    PhysioNet credentials and the whole pass retries; pass e.g.
+    ``lambda: getpass.getpass("physio password: ")`` for interactive use.
+    Without a provider the error propagates after the first failure.
+    """
     rows = list(records[["subject_id", "study_id", "dicom_id"]].itertuples(index=False))
-    with ThreadPoolExecutor(num_workers or os.cpu_count()) as pool:
-        return list(pool.map(lambda r: filer.save_image_from_dicom(*r, imsize=imsize), rows))
+
+    def convert(r):
+        return filer.save_image_from_dicom(*r, imsize=imsize, via_nifti=via_nifti,
+                                           process_function=process_function)
+
+    while True:
+        try:
+            with ThreadPoolExecutor(num_workers or os.cpu_count()) as pool:
+                return list(pool.map(convert, rows))
+        except DownloadError:
+            if password_provider is None:
+                raise
+            filer.password = password_provider()
 
 
 class ImaGenomeFiler(PhysioNetFiler):

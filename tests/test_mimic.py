@@ -179,3 +179,114 @@ def test_imagenome_datamodule_with_collate(tmp_path):
     assert b["imgs"].shape == (4, 48, 48, 3)
     assert b["segmentation_labels"].shape == (4, 48, 48)
     assert b["segmentation_labels"].sum() > 0  # bboxes projected into crop
+
+
+# -- NIfTI stage, corrupt-DICOM retry, password-retry loop ---------------------
+
+def test_nifti_roundtrip(tmp_path):
+    from gloria_tpu.data.nifti import load_nifti, save_nifti
+
+    rng = np.random.RandomState(3)
+    for arr in [
+        (rng.rand(7, 5) * 255).astype(np.uint8),
+        (rng.randn(6, 4) * 100).astype(np.int16),
+        rng.randn(3, 4, 2).astype(np.float32),
+    ]:
+        p = tmp_path / "x.nii"
+        save_nifti(str(p), arr)
+        back = load_nifti(str(p))
+        assert back.dtype == arr.dtype and back.shape == arr.shape
+        np.testing.assert_array_equal(back, arr)
+
+
+def _fake_decoder(img):
+    def read(path):
+        return img
+    return read
+
+
+def test_save_image_via_nifti_with_registration_hook(tmp_path, monkeypatch):
+    from gloria_tpu.data import image_dataset
+    from gloria_tpu.data.transforms import letterbox_resize
+
+    filer = mimic.MimicCxrFiler(str(tmp_path / "mimic-cxr"))
+    rng = np.random.RandomState(1)
+    img = (rng.rand(90, 70) * 255).astype(np.uint8)
+    rel = filer.dicom_relpath(10, 20, "dabc")
+    path = filer.get_full_path(rel)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    open(path, "wb").write(b"fake dicom bytes")
+    monkeypatch.setattr(image_dataset, "read_dicom", _fake_decoder(img))
+
+    flip = lambda x: x[::-1]  # stand-in registration process_function
+    cache = filer.save_image_from_dicom(10, 20, "dabc", imsize=64, via_nifti=True,
+                                        process_function=flip)
+    assert os.path.exists(filer.nifti_path("dabc"))  # intermediate persisted
+    expected = letterbox_resize(np.asarray(flip(img), np.int16), 64)
+    np.testing.assert_array_equal(np.load(cache), expected)
+
+
+def test_dicom_decode_retry_deletes_and_redownloads(tmp_path, monkeypatch):
+    from gloria_tpu.data import image_dataset
+
+    filer = mimic.MimicCxrFiler(str(tmp_path / "mimic-cxr"))
+    img = np.full((40, 40), 7, np.uint8)
+    rel = filer.dicom_relpath(11, 21, "dcorrupt")
+    path = filer.get_full_path(rel)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    open(path, "wb").write(b"corrupt")
+
+    downloads = []
+
+    def fake_download(relative_path="", force=False, verbose=True):
+        downloads.append(relative_path)
+        os.makedirs(os.path.dirname(filer.get_full_path(relative_path)), exist_ok=True)
+        open(filer.get_full_path(relative_path), "wb").write(b"redownloaded")
+
+    calls = {"n": 0}
+
+    def flaky_read(p):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise ValueError("corrupt dicom")
+        return img
+
+    monkeypatch.setattr(filer, "download_file", fake_download)
+    monkeypatch.setattr(image_dataset, "read_dicom", flaky_read)
+    cache = filer.save_image_from_dicom(11, 21, "dcorrupt", imsize=32)
+    assert downloads == [rel]          # exactly one recovery re-download
+    assert calls["n"] == 2
+    assert np.load(cache).shape == (32, 32)
+
+
+def test_prepare_images_password_retry(tmp_path, monkeypatch):
+    from gloria_tpu.data import image_dataset
+
+    filer = mimic.MimicCxrFiler(str(tmp_path / "mimic-cxr"),
+                                physio_username="u", physio_password="wrong")
+    img = np.full((30, 30), 3, np.uint8)
+    records = pd.DataFrame([{"subject_id": 1, "study_id": 2, "dicom_id": "dpw"}])
+
+    def guarded_download(relative_path="", force=False, verbose=True):
+        if filer.password != "secret":
+            raise mimic.DownloadError("401")
+        p = filer.get_full_path(relative_path)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        open(p, "wb").write(b"ok")
+
+    monkeypatch.setattr(filer, "download_file", guarded_download)
+    monkeypatch.setattr(image_dataset, "read_dicom", _fake_decoder(img))
+
+    with pytest.raises(mimic.DownloadError):
+        mimic.prepare_images_parallel(filer, records, imsize=16, num_workers=1)
+
+    prompts = []
+
+    def provider():
+        prompts.append(1)
+        return "secret"
+
+    paths = mimic.prepare_images_parallel(filer, records, imsize=16, num_workers=1,
+                                          password_provider=provider)
+    assert prompts == [1]
+    assert os.path.exists(paths[0])
