@@ -133,7 +133,7 @@ class ResNet(nn.Module):
 
 
 # registry mirroring reference cnn_backbones naming (cnn_backbones.py:17-80):
-# name → (constructor kwargs, global feature dim, layer3 local feature dim)
+# name → (constructor kwargs, global feature dim, 1/16-tap local feature dim)
 BACKBONES: dict[str, tuple[dict, int, int]] = {
     "resnet_18": (dict(block=BasicBlock, layers=(2, 2, 2, 2)), 512, 256),
     "resnet_34": (dict(block=BasicBlock, layers=(3, 4, 6, 3)), 512, 256),
@@ -144,6 +144,19 @@ BACKBONES: dict[str, tuple[dict, int, int]] = {
 }
 
 
-def make_backbone(name: str, dtype=jnp.float32, module_name: str = "backbone") -> tuple[ResNet, int, int]:
+def _densenets():
+    from .densenet import DENSENETS
+
+    return DENSENETS
+
+
+BACKBONES.update(_densenets())
+
+
+def make_backbone(name: str, dtype=jnp.float32, module_name: str = "backbone"):
     spec, feature_dim, interm_dim = BACKBONES[name]
+    if name.startswith("densenet"):
+        from .densenet import DenseNet
+
+        return DenseNet(**spec, dtype=dtype, name=module_name), feature_dim, interm_dim
     return ResNet(**spec, dtype=dtype, name=module_name), feature_dim, interm_dim

@@ -90,6 +90,40 @@ def import_resnet(state: Mapping[str, Any], layers: tuple[int, ...]) -> tuple[di
     return params, stats
 
 
+def import_densenet(state: Mapping[str, Any], block_config: tuple[int, ...]) -> tuple[dict, dict]:
+    """torchvision ``densenet*.state_dict()`` → (params, batch_stats) for
+    :class:`gloria_tpu.models.densenet.DenseNet`.  torchvision nests
+    everything under ``features.``; our modules are flat
+    ``denseblock{b}_denselayer{l}`` / ``transition{b}``."""
+    params: dict = {}
+    stats: dict = {}
+
+    def bn(src: str, dst_p: dict, dst_s: dict, name: str):
+        dst_p[name] = {"scale": _np(state[f"{src}.weight"]), "bias": _np(state[f"{src}.bias"])}
+        dst_s[name] = {"mean": _np(state[f"{src}.running_mean"]), "var": _np(state[f"{src}.running_var"])}
+
+    params["conv0"] = {"kernel": _conv(state["features.conv0.weight"])}
+    bn("features.norm0", params, stats, "norm0")
+    for b, n_layers in enumerate(block_config, start=1):
+        for l in range(1, n_layers + 1):
+            src = f"features.denseblock{b}.denselayer{l}"
+            dst = f"denseblock{b}_denselayer{l}"
+            p, s = {}, {}
+            bn(f"{src}.norm1", p, s, "norm1")
+            p["conv1"] = {"kernel": _conv(state[f"{src}.conv1.weight"])}
+            bn(f"{src}.norm2", p, s, "norm2")
+            p["conv2"] = {"kernel": _conv(state[f"{src}.conv2.weight"])}
+            params[dst], stats[dst] = p, s
+        if b != len(block_config):
+            src = f"features.transition{b}"
+            p, s = {}, {}
+            bn(f"{src}.norm", p, s, "norm")
+            p["conv"] = {"kernel": _conv(state[f"{src}.conv.weight"])}
+            params[f"transition{b}"], stats[f"transition{b}"] = p, s
+    bn("features.norm5", params, stats, "norm5")
+    return params, stats
+
+
 # ---------------------------------------------------------------------------
 # BERT
 # ---------------------------------------------------------------------------

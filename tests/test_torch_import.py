@@ -150,3 +150,104 @@ def test_transformer_layer_import_matches_torch():
     np.testing.assert_allclose(
         np.asarray(got), ref.permute(1, 0, 2).numpy(), rtol=1e-4, atol=1e-5
     )
+
+
+# -- DenseNet ------------------------------------------------------------------
+
+class _TorchMiniDenseNet(torch.nn.Module):
+    """torchvision densenet state-dict key layout (features.denseblockB.denselayerL.*)
+    at toy scale: growth 8, blocks (2, 2, 2, 2), init 16."""
+
+    GROWTH, BLOCKS, INIT = 8, (2, 2, 2, 2), 16
+
+    def __init__(self):
+        super().__init__()
+        import collections
+
+        features = collections.OrderedDict()
+        features["conv0"] = torch.nn.Conv2d(3, self.INIT, 7, stride=2, padding=3, bias=False)
+        features["norm0"] = torch.nn.BatchNorm2d(self.INIT)
+        ch = self.INIT
+        for b, n in enumerate(self.BLOCKS, start=1):
+            block = torch.nn.ModuleDict()
+            for l in range(1, n + 1):
+                layer = torch.nn.Module()
+                layer.norm1 = torch.nn.BatchNorm2d(ch)
+                layer.conv1 = torch.nn.Conv2d(ch, 4 * self.GROWTH, 1, bias=False)
+                layer.norm2 = torch.nn.BatchNorm2d(4 * self.GROWTH)
+                layer.conv2 = torch.nn.Conv2d(4 * self.GROWTH, self.GROWTH, 3, padding=1, bias=False)
+                block[f"denselayer{l}"] = layer
+                ch += self.GROWTH
+            features[f"denseblock{b}"] = block
+            if b != len(self.BLOCKS):
+                tr = torch.nn.Module()
+                tr.norm = torch.nn.BatchNorm2d(ch)
+                ch //= 2
+                tr.conv = torch.nn.Conv2d(tr.norm.num_features, ch, 1, bias=False)
+                features[f"transition{b}"] = tr
+        features["norm5"] = torch.nn.BatchNorm2d(ch)
+        self.features = torch.nn.ModuleDict(features)
+
+    def forward(self, x):
+        import torch.nn.functional as F
+
+        f = self.features
+        x = F.max_pool2d(F.relu(f["norm0"](f["conv0"](x))), 3, stride=2, padding=1)
+        local = None
+        for b in range(1, len(self.BLOCKS) + 1):
+            block = f[f"denseblock{b}"]
+            for l in range(1, self.BLOCKS[b - 1] + 1):
+                layer = block[f"denselayer{l}"]
+                out = layer.conv1(F.relu(layer.norm1(x)))
+                out = layer.conv2(F.relu(layer.norm2(out)))
+                x = torch.cat([x, out], dim=1)
+            if b == 3:
+                local = x
+            if b != len(self.BLOCKS):
+                tr = f[f"transition{b}"]
+                x = F.avg_pool2d(tr.conv(F.relu(tr.norm(x))), 2, stride=2)
+        x = F.relu(f["norm5"](x))
+        return x.mean(dim=(2, 3)), local
+
+
+def test_densenet_import_matches_torch_forward():
+    from gloria_tpu.models.densenet import DenseNet
+
+    torch.manual_seed(4)
+    tm = _TorchMiniDenseNet().eval()
+    with torch.no_grad():
+        for m in tm.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.3)
+                m.running_var.uniform_(0.7, 1.3)
+
+    x = torch.randn(2, 3, 64, 64)
+    with torch.no_grad():
+        ref_pooled, ref_local = tm(x)
+
+    params, stats = torch_import.import_densenet(tm.state_dict(), block_config=tm.BLOCKS)
+    model = DenseNet(growth_rate=tm.GROWTH, block_config=tm.BLOCKS, num_init_features=tm.INIT)
+    pooled, local = model.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(x.permute(0, 2, 3, 1).numpy()), train=False,
+    )
+    np.testing.assert_allclose(np.asarray(pooled), ref_pooled.numpy(), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(local), ref_local.permute(0, 2, 3, 1).numpy(), rtol=1e-3, atol=1e-4)
+
+
+def test_densenet_backbone_registry_forward():
+    """DenseNet is usable end-to-end through the ImageEncoder registry path
+    (the reference's densenet_forward is an unreachable stub —
+    vision_model.py:88-89)."""
+    from gloria_tpu.models.resnet import BACKBONES
+    from gloria_tpu.models.vision_model import ImageEncoder
+
+    assert {"densenet_121", "densenet_161", "densenet_169"} <= set(BACKBONES)
+    import jax
+
+    enc = ImageEncoder(model_name="densenet_121", output_dim=32, input_size=64)
+    v = enc.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    g, l, (h, w) = enc.apply(v, jnp.zeros((1, 64, 64, 3)), train=False)
+    assert g.shape == (1, 32)
+    assert l.shape == (1, h * w, 32)
