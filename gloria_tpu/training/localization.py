@@ -148,7 +148,14 @@ class EvaluateLocalization(Callback):
     def _maybe_eval(self, trainer, state, metrics, batch, split):
         if "segmentation_labels" not in batch or "_attn" not in metrics:
             return
-        means = self.evaluate_batch(metrics["_attn"], batch)
+        sims = None
+        if "_local_sims" in metrics or "_global_sims" in metrics:
+            sims = {}
+            if "_local_sims" in metrics:
+                sims["local"] = metrics["_local_sims"]
+            if "_global_sims" in metrics:
+                sims["global"] = metrics["_global_sims"]
+        means = self.evaluate_batch(metrics["_attn"], batch, sims=sims)
         trainer.logger.log({f"localization/{k}": v for k, v in means.items()},
                            trainer.global_step, split)
 
@@ -226,4 +233,12 @@ class WeightInstancesByLocalization(Callback):
         s = self.scores.copy()
         s[~self.seen] = s[self.seen].mean()
         z = np.exp((s - s.max()) / self.temp)
-        self.loader.sample_weights = z / z.sum()
+        weights = z / z.sum()
+        self.loader.sample_weights = weights
+        # reference logs the raw + softmaxed weight distributions
+        # (callbacks.py:563-568: wandb.Histogram of both)
+        logger = getattr(trainer, "logger", None)
+        if logger is not None and hasattr(logger, "log_histogram"):
+            logger.log_histogram("train/weights_hist", s, trainer.global_step)
+            logger.log_histogram("train/weights_softmax_hist", weights, trainer.global_step)
+            logger.log({"train/weights_mean": float(s.mean())}, trainer.global_step, split)

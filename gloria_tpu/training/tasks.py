@@ -151,6 +151,35 @@ class SegmentationTask(SupervisedTask):
         return {"dice": M.dice_score(prob, np.asarray(labels))}
 
 
+class LogSegmentationSamples:
+    """Log the first validation sample's input/mask/layered/pred images
+    (reference ``SegmentationModel.shared_step`` W&B image logging,
+    ``segmentation_model.py:76-95``) through ``MetricLogger.log_image``."""
+
+    def __getattr__(self, name):  # other Callback hooks: no-ops
+        if name.startswith("on_"):
+            return lambda *a, **k: None
+        raise AttributeError(name)
+
+    def on_validation_batch_end(self, trainer, state, metrics, batch, batch_idx):
+        if batch_idx != 0 or "logits" not in metrics:
+            return
+        logger = getattr(trainer, "logger", None)
+        if logger is None or not hasattr(logger, "log_image"):
+            return
+        img = np.asarray(batch["imgs"][0], np.float32)
+        lo, hi = img.min(), img.max()
+        img = (img - lo) / max(hi - lo, 1e-6)
+        mask = np.asarray(batch["labels"][0], np.float32).squeeze()
+        prob = np.asarray(jax.nn.sigmoid(jnp.asarray(metrics["logits"][0]))).squeeze()
+        layered = 0.5 * img[..., :3].mean(-1) + 0.5 * mask
+        step = trainer.global_step
+        logger.log_image("input_image", img, step)
+        logger.log_image("mask", mask, step)
+        logger.log_image("layered", layered, step)
+        logger.log_image("pred", prob, step)
+
+
 def graft_pretrained(variables: dict, patch: dict | None) -> dict:
     """Overlay a pretrained-subtree patch onto freshly-initialized variables."""
     if patch is None:

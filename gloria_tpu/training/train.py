@@ -18,6 +18,7 @@ import optax
 from flax import struct
 
 from ..models.gloria_model import GLoRIA
+from ..ops import gloria_loss
 
 
 class TrainState(struct.PyTreeNode):
@@ -65,8 +66,35 @@ def make_pretrain_steps(
             method=GLoRIA.calc_loss,
         )
 
+    def diag_sims(params, batch, outs):
+        """Per-pair (i, i) eval-path similarities — the reference callback
+        persists ``diagonal(get_local_similarities)`` and
+        ``diagonal(get_global_similarities)`` per sentence row
+        (``callbacks.py:385-408``).  Eval temps are the reference's hardcoded
+        4.0/5.0 (``gloria_model.py:171-207``)."""
+        img_l, img_g, txt_l, txt_g, _ = outs
+        local = gloria_loss.local_similarities_eval(
+            img_l, txt_l, batch["cap_lens"], temp1=4.0, temp2=5.0,
+            sink=params.get("no_attn_vec"), chunk=loss_chunk, precision=None,
+        )
+        glob = gloria_loss.global_similarities(img_g, txt_g)
+        return jnp.diagonal(local), jnp.diagonal(glob)
+
+    def _dropout_rng(rng, step):
+        """Per-step dropout key with rbg (counter-based) bit generation.
+
+        threefry mask generation for BERT's 12 dropout layers costs ~12.6
+        ms/step at B=48 on v5e (measured: text encoder fwd+bwd 34.2 ms with
+        threefry dropout vs 21.6 ms without); the hardware rng_bit_generator
+        is effectively free.  The stored ``state.rng`` stays a raw threefry
+        key so checkpoints serialize as plain arrays — only the cheap scalar
+        fold_in runs under threefry, then the folded data seeds an rbg key.
+        """
+        folded = jax.random.fold_in(rng, step)  # raw [2] uint32
+        return jax.random.wrap_key_data(jnp.tile(folded, 2), impl="rbg")
+
     def train_step(state: TrainState, batch: dict):
-        rng = jax.random.fold_in(state.rng, state.step)
+        rng = _dropout_rng(state.rng, state.step)
 
         def loss_fn(params):
             outs, muts = model.apply(
@@ -77,6 +105,9 @@ def make_pretrain_steps(
             loss, metrics, attn = loss_from_outputs(params, state, batch, outs)
             if return_attn:
                 metrics["_attn"] = jax.lax.stop_gradient(attn)
+                loc, glo = diag_sims(params, batch, outs)
+                metrics["_local_sims"] = jax.lax.stop_gradient(loc)
+                metrics["_global_sims"] = jax.lax.stop_gradient(glo)
             return loss, (metrics, muts["batch_stats"])
 
         (loss, (metrics, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
@@ -95,6 +126,9 @@ def make_pretrain_steps(
         loss, metrics, attn = loss_from_outputs(state.params, state, batch, outs)
         metrics = dict(metrics)
         metrics["_attn"] = attn
+        loc, glo = diag_sims(state.params, batch, outs)
+        metrics["_local_sims"] = loc
+        metrics["_global_sims"] = glo
         return metrics
 
     jit_train = jax.jit(train_step, donate_argnums=(0,) if donate else ())

@@ -60,6 +60,27 @@ class MetricLogger:
         if self._wandb is not None:
             self._wandb.log({f"{split}/{k}": v for k, v in metrics.items()}, step=step)
 
+    def log_histogram(self, name: str, values, step: int) -> None:
+        """Histogram sink (reference logs wandb.Histogram of instance weights,
+        ``callbacks.py:563-568``).  Locally the summary + bin counts go to a
+        json-lines file; with wandb active a native Histogram is mirrored."""
+        import numpy as np
+
+        arr = np.asarray(values, dtype=np.float64).reshape(-1)
+        if self.output_dir is not None and arr.size:
+            counts, edges = np.histogram(arr, bins=min(64, max(1, arr.size)))
+            with open(self.output_dir / "histograms.jsonl", "a") as fh:
+                fh.write(json.dumps({
+                    "name": name, "step": step,
+                    "mean": float(arr.mean()), "std": float(arr.std()),
+                    "min": float(arr.min()), "max": float(arr.max()),
+                    "counts": counts.tolist(), "edges": edges.tolist(),
+                }) + "\n")
+        if self._wandb is not None:
+            import wandb
+
+            self._wandb.log({name: wandb.Histogram(arr)}, step=step)
+
     def log_image(self, name: str, image, step: int) -> None:
         if self.output_dir is not None:
             try:

@@ -124,8 +124,13 @@ def main(cfg, args) -> dict:
         save_top_k=int(ckpt_cfg.get("save_top_k", 1)),
         save_last=bool(ckpt_cfg.get("save_last", True)),
     )
-    logger = MetricLogger(cfg.output_dir, project=cfg.lightning.logger.project if cfg.lightning and cfg.lightning.logger else None,
-                          experiment=cfg.experiment_name, use_wandb=False)
+    # reference run.py:137-144 instantiates the logger class named by
+    # cfg.lightning.logger.logger_type (WandbLogger in the shipped configs);
+    # here the same key opts the MetricLogger into its wandb mirror
+    logger_cfg = cfg.lightning.logger if cfg.lightning else None
+    use_wandb = bool(logger_cfg) and "wandb" in str(logger_cfg.logger_type or "").lower()
+    logger = MetricLogger(cfg.output_dir, project=logger_cfg.project if logger_cfg else None,
+                          experiment=cfg.experiment_name, use_wandb=use_wandb)
 
     train_loader = None
     pretrained_vars = None
@@ -209,8 +214,14 @@ def main(cfg, args) -> dict:
             out = task.eval_step(s, b)
             return {**out, "labels": b["labels"]}
 
+        task_callbacks = []
+        if phase == "segmentation":
+            from gloria_tpu.training.tasks import LogSegmentationSamples
+
+            task_callbacks.append(LogSegmentationSamples())
         trainer = Trainer(cfg, task.train_step, eval_with_labels,
-                          logger=logger, checkpoints=manager, metric_extractor=extractor)
+                          logger=logger, checkpoints=manager, metric_extractor=extractor,
+                          callbacks=task_callbacks)
 
     if mesh is not None:
         state = state.replace(params=shard_params(state.params, mesh),

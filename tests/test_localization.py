@@ -58,7 +58,9 @@ def test_evaluate_localization_callback(tmp_path):
         "_ids": ["a/x", "b/y", "c/z"],
         "_words": [["[CLS]", "left", "lung", "[SEP]"]] * B,
     }
-    means = cb.evaluate_batch(attn, batch)
+    sims = {"local": rng.randn(B).astype(np.float32),
+            "global": rng.randn(B).astype(np.float32)}
+    means = cb.evaluate_batch(attn, batch, sims=sims)
     assert set(means) >= {"auroc", "avg_precision", "attn_entropy", "no_attn_weight",
                           "precision_at_0.050000", "iou_at_0.300000"}
     csv_path = cb.flush("test")
@@ -67,6 +69,9 @@ def test_evaluate_localization_callback(tmp_path):
 
     df = pd.read_csv(csv_path)
     assert len(df) == 3 and "auroc" in df.columns
+    # per-sentence similarities persist (reference callbacks.py:385-408)
+    np.testing.assert_allclose(df["local_sims"].to_numpy(), sims["local"], rtol=1e-6)
+    np.testing.assert_allclose(df["global_sims"].to_numpy(), sims["global"], rtol=1e-6)
     assert (tmp_path / "test" / "attn" / "a_x.npy").exists()
     assert (tmp_path / "test" / "roc_curve" / "a_x.npz").exists()
 
