@@ -46,7 +46,8 @@ class ImageEncoder(nn.Module):
         """
         backbone, _, _ = make_backbone(self.model_name, dtype=self.dtype)
         if self.input_size and x.shape[1] != self.input_size:
-            x = resize_bilinear(x, (self.input_size, self.input_size), align_corners=True)
+            x = resize_bilinear(x, (self.input_size, self.input_size), align_corners=True,
+                                compute_dtype=self.dtype)
         global_ft, local_ft = backbone(x, train=train)
         if not get_embeddings:
             return global_ft, local_ft
@@ -77,7 +78,8 @@ class ImageClassifier(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False):
         backbone, _, _ = make_backbone(self.model_name, dtype=self.dtype)
         if self.input_size and x.shape[1] != self.input_size:
-            x = resize_bilinear(x, (self.input_size, self.input_size), align_corners=True)
+            x = resize_bilinear(x, (self.input_size, self.input_size), align_corners=True,
+                                compute_dtype=self.dtype)
         pooled, _ = backbone(x, train=train)
         return nn.Dense(self.num_classes, param_dtype=jnp.float32, name="classifier")(pooled)
 

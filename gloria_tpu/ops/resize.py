@@ -50,23 +50,32 @@ def _nearest_matrix(in_size: int, out_size: int) -> np.ndarray:
     return m
 
 
-def _apply_separable(x: jnp.ndarray, mh: np.ndarray, mw: np.ndarray) -> jnp.ndarray:
+def _apply_separable(x: jnp.ndarray, mh: np.ndarray, mw: np.ndarray,
+                     compute_dtype=None) -> jnp.ndarray:
     """x: [..., H, W, C] → [..., H', W', C] via separable row/col matrices.
 
     Contract in channels-first layout so the lane dimension is spatial, not
     C: with C=3 images, lanes padded 3→128 made the NHWC contraction 31×
-    slower on v5e (65 ms vs 2 ms for 48×224²→299²)."""
+    slower on v5e (65 ms vs 2 ms for 48×224²→299²).
+
+    ``compute_dtype`` defaults to float32 (exact torch semantics for eval
+    parity); the training path passes bf16 — the reference trains under
+    Lightning AMP (precision: 16), so its upsample runs reduced-precision
+    there too."""
     dtype = x.dtype
-    xf = jnp.moveaxis(x.astype(jnp.float32), -1, -3)  # [..., C, H, W]
-    y = jnp.einsum("oh,...hw->...ow", jnp.asarray(mh), xf)
-    y = jnp.einsum("pw,...ow->...op", jnp.asarray(mw), y)
+    cd = jnp.float32 if compute_dtype is None else compute_dtype
+    xf = jnp.moveaxis(x.astype(cd), -1, -3)  # [..., C, H, W]
+    y = jnp.einsum("oh,...hw->...ow", jnp.asarray(mh).astype(cd), xf)
+    y = jnp.einsum("pw,...ow->...op", jnp.asarray(mw).astype(cd), y)
     return jnp.moveaxis(y, -3, -1).astype(dtype)
 
 
-def resize_bilinear(x: jnp.ndarray, size: tuple[int, int], align_corners: bool = True) -> jnp.ndarray:
+def resize_bilinear(x: jnp.ndarray, size: tuple[int, int], align_corners: bool = True,
+                    compute_dtype=None) -> jnp.ndarray:
     """Bilinear resize of NHWC (or [..., H, W, C]) with torch semantics."""
     h, w = x.shape[-3], x.shape[-2]
-    return _apply_separable(x, _bilinear_matrix(h, size[0], align_corners), _bilinear_matrix(w, size[1], align_corners))
+    return _apply_separable(x, _bilinear_matrix(h, size[0], align_corners),
+                            _bilinear_matrix(w, size[1], align_corners), compute_dtype)
 
 
 def resize_nearest(x: jnp.ndarray, size: tuple[int, int]) -> jnp.ndarray:
