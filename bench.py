@@ -34,7 +34,8 @@ import time
 CPU_BASELINE_PAIRS_PER_SEC = 0.077
 
 
-def build(smoke: bool, batch_override: int | None = None, loss_chunk: int = 8):
+def build(smoke: bool, batch_override: int | None = None, loss_chunk: int = 8,
+          fused: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -66,6 +67,8 @@ def build(smoke: bool, batch_override: int | None = None, loss_chunk: int = 8):
         batch_size, tokens, imsize = 48, 97, 224
     if batch_override:
         batch_size = batch_override
+    if fused:
+        cfg.model.gloria.fused_kernel = True
 
     raw = make_synthetic_batch(batch_size=batch_size, num_tokens=tokens, imsize=imsize,
                                vocab_size=cfg.model.text.bert_config["vocab_size"])
@@ -113,6 +116,8 @@ def main() -> int:
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--loss-chunk", type=int, default=8)
+    ap.add_argument("--fused", action="store_true",
+                    help="route the local-matching sims through the Pallas kernel")
     ap.add_argument("--batch-size", type=int, default=None,
                     help="override batch size (default: 48, the reference's; "
                          "peak v5e throughput measured at 96)")
@@ -122,7 +127,8 @@ def main() -> int:
         import jax
         jax.config.update("jax_platforms", "cpu")
 
-    state, batch, train_step, bs = build(args.smoke, args.batch_size, args.loss_chunk)
+    state, batch, train_step, bs = build(args.smoke, args.batch_size, args.loss_chunk,
+                                         args.fused)
     steps = args.steps if not args.cpu_baseline else 2
     warmup = 1 if (args.cpu_baseline or args.smoke) else 3
     repeats = 1 if (args.cpu_baseline or args.smoke) else args.repeats

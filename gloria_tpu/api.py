@@ -115,9 +115,11 @@ class GloriaModel:
 
     def get_local_similarities(self, img_emb_l, text_emb_l, cap_lens) -> np.ndarray:
         sink = self.variables["params"].get("no_attn_vec")
+        g = (self.cfg.model.gloria if self.cfg.model else None) or Config()
         return np.asarray(gloria_loss.local_similarities_eval(
             img_emb_l, text_emb_l, jnp.asarray(cap_lens),
             temp1=4.0, temp2=5.0, sink=sink,  # hardcoded in the reference eval path
+            use_fused=bool(g.fused_kernel),
         ))
 
     def get_attn_maps(self, img_emb_l, text_emb_l, cap_lens):

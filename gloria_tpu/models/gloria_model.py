@@ -201,6 +201,7 @@ class GLoRIA(nn.Module):
             attention_divergence_loss_weight=g.attention_divergence_loss_weight,
             attention_entropy_loss_weight=g.attention_entropy_loss_weight,
             chunk=chunk,
+            use_fused=bool(g.fused_kernel),
         )
         loss = 0.0
         metrics = {"local_loss0": l0, "local_loss1": l1}

@@ -266,6 +266,7 @@ def local_loss(
     attention_entropy_loss_weight: float | None = None,
     chunk: int = 8,
     precision=None,
+    use_fused: bool = False,
 ):
     """Local InfoNCE over the batch similarity matrix + ablation losses.
 
@@ -274,24 +275,51 @@ def local_loss(
     mirroring reference ``local_loss`` (``gloria_loss.py:99-201``); attn_diag
     is [B, W, R] (the reference's list of per-caption [W_i, h, w] maps, here
     fixed-shape with the word mask implicit).
+
+    ``use_fused`` routes the O(B²) similarity matrix through the Pallas
+    kernel (:mod:`gloria_tpu.ops.pallas.local_sim`, custom VJP); the
+    diagonal attention maps (and the diagonal sink mass for the no-attn
+    loss) come from the cheap O(B) aligned :func:`attention_fn` — they are
+    the same (i, i) pairs the pairwise program computes.  The flat-attention
+    ablations (divergence/entropy) genuinely need all T×B attention maps,
+    so those configs fall back to the XLA path.
     """
     B, W, _ = words.shape
     mask = make_word_mask(cap_lens, W, "train")
     need_flat = (attention_divergence_loss_weight is not None) or (attention_entropy_loss_weight is not None)
-    m = local_matching(
-        words,
-        img_regions,
-        mask,
-        temp1=temp1,
-        temp2=temp2,
-        agg=agg,
-        sink=sink,
-        chunk=chunk,
-        need_diag_attn=True,
-        need_flat_attn=need_flat,
-        need_sink_mass=no_attn_loss_weight is not None,
-        precision=precision,
-    )
+
+    diag_mass = None
+    if use_fused and not need_flat:
+        from .pallas.local_sim import fused_local_similarities
+
+        ctx = img_regions
+        if sink is not None:
+            srow = jnp.broadcast_to(sink[None, None, :], (B, 1, img_regions.shape[2]))
+            ctx = jnp.concatenate([srow, img_regions], axis=1)
+        sims = fused_local_similarities(
+            words, ctx, mask, float(temp1), float(temp2), agg, 8, 8, False)
+        _, attn = attention_fn(words, img_regions, temp1, word_mask=mask, sink=sink)
+        if no_attn_loss_weight is not None:
+            region_mass = jnp.where(mask, attn.sum(-1), 0.0).sum(-1) / jnp.maximum(mask.sum(-1), 1)
+            diag_mass = 1.0 - region_mass
+        m = LocalMatch(similarities=sims, attn_diag=attn, flat_attn=None, sink_mass=None)
+    else:
+        m = local_matching(
+            words,
+            img_regions,
+            mask,
+            temp1=temp1,
+            temp2=temp2,
+            agg=agg,
+            sink=sink,
+            chunk=chunk,
+            need_diag_attn=True,
+            need_flat_attn=need_flat,
+            need_sink_mass=no_attn_loss_weight is not None,
+            precision=precision,
+        )
+        if no_attn_loss_weight is not None:
+            diag_mass = jnp.diagonal(m.sink_mass.T)  # sink_mass is [T, B]
     logits = m.similarities * temp3  # [B_img, B_text]
     loss0 = _diag_cross_entropy(logits)       # image -> text
     loss1 = _diag_cross_entropy(logits.T)     # text -> image
@@ -299,7 +327,6 @@ def local_loss(
     no_attn_loss = 0.0
     if no_attn_loss_weight is not None:
         # mean over diagonal pairs of log(mean-over-words sink mass)
-        diag_mass = jnp.diagonal(m.sink_mass.T)  # sink_mass is [T, B]
         no_attn_loss = no_attn_loss_weight * jnp.mean(jnp.log(jnp.maximum(diag_mass, EPS)))
 
     kl_loss = 0.0
@@ -357,14 +384,23 @@ def local_similarities_eval(
     sink: jnp.ndarray | None = None,
     chunk: int = 0,
     precision="highest",
+    use_fused: bool = False,
 ) -> jnp.ndarray:
     """Eval-path local similarities [B_img, T_text].
 
     Matches ``GLoRIA.get_local_similarities`` (``gloria_model.py:171-207``):
     word slice ``[1:cap_len+1]`` and **max** over words instead of sum.
+    ``use_fused`` routes through the Pallas kernel (measured 2.4× faster at
+    the 5×200 eval shape; bf16-tolerance numerics vs this path).
     """
     W = words.shape[1]
     mask = make_word_mask(cap_lens, W, "eval")
+    if use_fused:
+        from .pallas.local_sim import local_similarities_fused
+
+        return local_similarities_fused(
+            img_regions, words, cap_lens, temp1=temp1, temp2=temp2,
+            agg="max", convention="eval", sink=sink)
     m = local_matching(
         words, img_regions, mask,
         temp1=temp1, temp2=temp2, agg="max", sink=sink, chunk=chunk,
