@@ -62,12 +62,56 @@ def _mask_spans(text: str, spans: list[tuple[int, int]], mask_token: str,
 
 _SENT_BOUNDARY = re.compile(r"[^.!?]+[.!?]?")
 
-# minimal clinical-findings lexicon for the hermetic entity fallback
-_CLINICAL_TERMS = (
-    "atelectasis|cardiomegaly|consolidation|edema|effusion|pneumothorax|"
-    "pneumonia|opacity|fracture|lesion|infiltrate|emphysema|fibrosis|nodule"
+# Curated radiology findings/anatomy lexicon for the hermetic clinical-entity
+# fallback (the reference links via scispaCy+UMLS, text_masking.py:50-58 —
+# not installable here).  Sources: the CheXpert label set and prompt-grammar
+# subtype phrases (constants.py), the ImaGenome attribute conditions, and
+# the common RadGraph observation/anatomy vocabulary.  Multi-word phrases
+# first so the alternation is longest-match.
+_CLINICAL_PHRASES = [
+    # multi-word findings (longest first)
+    "loculated pleural effusion", "trace interstitial edema",
+    "bilateral pleural effusion", "subpulmonic pleural effusion",
+    "acute respiratory distress syndrome", "chronic obstructive pulmonary disease",
+    "diffuse alveolar damage", "pulmonary vascular congestion",
+    "pleural effusion", "pericardial effusion", "lung opacity", "airspace opacity",
+    "airspace disease", "pulmonary edema", "interstitial edema", "alveolar edema",
+    "septal thickening", "pleural thickening", "interstitial markings",
+    "vascular congestion", "hilar congestion", "mediastinal widening",
+    "enlarged cardiac silhouette", "cardiac silhouette", "costophrenic angle",
+    "subcutaneous emphysema", "rib fracture", "clavicle fracture",
+    "compression fracture", "bony lesion", "lytic lesion", "lung cancer",
+    "lung lesion", "lung nodule", "pulmonary nodule", "miliary nodules",
+    "ground glass opacity", "ground-glass opacity", "tree-in-bud",
+    "air bronchogram", "aspiration pneumonia", "bacterial pneumonia",
+    "hiatal hernia", "tension pneumothorax", "apical pneumothorax",
+    "basilar atelectasis", "plate-like atelectasis", "platelike atelectasis",
+    "lobar collapse", "volume loss", "pleural fluid", "free air",
+    "support devices", "endotracheal tube", "chest tube", "central line",
+    "picc line", "pacemaker", "sternotomy wires",
+    # single-word findings
+    "atelectasis", "cardiomegaly", "consolidation", "edema", "effusion",
+    "pneumothorax", "pneumonia", "opacity", "opacities", "fracture",
+    "lesion", "infiltrate", "infiltrates", "infiltration", "emphysema",
+    "fibrosis", "nodule", "nodules", "nodularity", "mass", "masses",
+    "granuloma", "granulomas", "calcification", "calcifications",
+    "scarring", "bronchiectasis", "hyperinflation", "hernia",
+    "congestion", "hemorrhage", "hematoma", "abscess", "cavitation",
+    "empyema", "tuberculosis", "sarcoidosis", "malignancy", "carcinoma",
+    "metastasis", "metastases", "lymphadenopathy", "aeration", "collapse",
+    "kyphosis", "scoliosis", "osteopenia", "osteoporosis",
+    # anatomy commonly masked as entity spans
+    "costophrenic", "retrocardiac", "perihilar", "hilar", "apical",
+    "diaphragm", "hemidiaphragm", "mediastinum", "mediastinal", "pleura",
+    "pleural", "trachea", "carina", "aorta", "aortic", "cardiac", "heart",
+    "lung", "lungs", "lobe", "lingula", "bronchus", "bronchi", "clavicle",
+    "ribs", "spine", "vertebral", "hilum",
+]
+_CLINICAL_PHRASES.sort(key=len, reverse=True)  # longest-match alternation
+_CLINICAL_RE = re.compile(
+    r"\b(?:" + "|".join(re.escape(p).replace(r"\ ", r"\s+") for p in _CLINICAL_PHRASES) + r")\b",
+    re.IGNORECASE,
 )
-_CLINICAL_RE = re.compile(rf"\b(?:{_CLINICAL_TERMS})\b", re.IGNORECASE)
 
 
 def _spacy_nlp(model: str = "en_core_web_sm"):

@@ -290,3 +290,41 @@ def test_prepare_images_password_retry(tmp_path, monkeypatch):
                                           password_provider=provider)
     assert prompts == [1]
     assert os.path.exists(paths[0])
+
+
+def test_clinical_lexicon_multiword_and_recall():
+    """The hermetic clinical-entity fallback must catch multi-word findings
+    with longest-match spans, and cover the domain vocabulary the datasets
+    actually produce (CheXpert tasks + prompt grammar + ImaGenome
+    conditions)."""
+    from gloria_tpu import constants
+    from gloria_tpu.data.text_masking import _CLINICAL_RE, build_masker
+
+    # multi-word span is one entity, not two
+    spans = [m.group().lower() for m in _CLINICAL_RE.finditer(
+        "There is a small left pleural effusion with basilar atelectasis.")]
+    assert "pleural effusion" in spans and "basilar atelectasis" in spans
+
+    # every CheXpert competition task name is recognized
+    for task in constants.CHEXPERT_COMPETITION_TASKS:
+        key = task.lower().replace("enlarged cardiomediastinum", "mediastinal widening")
+        assert _CLINICAL_RE.search(key), task
+
+    # recall over full prompt-grammar sentences: every generated zero-shot
+    # prompt must contain at least one recognized clinical entity
+    missed = []
+    for cls in constants.CHEXPERT_CLASS_PROMPTS.values():
+        keys = list(cls.keys())
+        for k0 in cls[keys[0]]:
+            for k1 in cls[keys[1]]:
+                for k2 in cls[keys[2]]:
+                    sent = f"{k0} {k1} {k2}"
+                    if not _CLINICAL_RE.search(sent):
+                        missed.append(sent)
+    assert not missed, missed[:10]
+
+    # deterministic masking flows through the spans
+    rng = random.Random(0)
+    masker = build_masker("clinical_entity", mask_prob=1.0, rng=rng)
+    out = masker("mild pulmonary edema and a right pleural effusion")
+    assert "[MASK]" in out
