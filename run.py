@@ -48,6 +48,8 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--attention_entropy_loss_weight", type=float, default=None)
     p.add_argument("--segmentation_loss_weight", type=float, default=None)
     p.add_argument("--limit_batches", type=int, default=None, help="cap batches/epoch (debug)")
+    p.add_argument("--fused_kernel", action="store_true",
+                   help="route the O(B²) local-matching sims through the Pallas kernel")
     p.add_argument("--fsdp", type=int, default=1)
     p.add_argument("--multihost", action="store_true",
                    help="initialize jax.distributed for multi-host SPMD (DCN)")
@@ -84,6 +86,8 @@ def apply_overrides(cfg, args) -> None:
         cfg.set_path("lightning.trainer.limit_val_batches", args.limit_batches)
     if args.no_attn_vec:
         cfg.set_path("model.gloria.no_attn_vec", True)
+    if args.fused_kernel:
+        cfg.set_path("model.gloria.fused_kernel", True)
     for key in ("no_attn_loss_weight", "attention_divergence_loss_weight",
                 "attention_entropy_loss_weight", "segmentation_loss_weight"):
         value = getattr(args, key)
