@@ -83,7 +83,14 @@ class _PretrainModule(DataModule):
             return load_tokenizer(bert_type=text_cfg.bert_type, vocab_file=text_cfg.vocab_file)
         except ValueError:
             ds = self.dataset("train")  # construct once: may parse scene graphs etc.
-            corpus = [ds[i]["report"] for i in range(min(64, len(ds)))]
+            corpus = []
+            for i in range(min(64, len(ds))):
+                try:
+                    corpus.append(ds[i]["report"])
+                except Exception:
+                    continue  # corrupt instances must not kill module build
+            if not corpus:
+                corpus = ["no finding"]
             return load_tokenizer(corpus=corpus)
 
     def collate(self, split):

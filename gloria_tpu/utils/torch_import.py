@@ -209,7 +209,15 @@ def import_gloria(
     state = strip_gloria_prefix(state)
     resnet_state = {k[len("img_encoder.model."):]: v for k, v in state.items() if k.startswith("img_encoder.model.")}
     bert_state = {k[len("text_encoder.model."):]: v for k, v in state.items() if k.startswith("text_encoder.model.")}
-    rn_params, rn_stats = import_resnet(resnet_state, resnet_layers)
+    if "features.conv0.weight" in resnet_state:  # torchvision DenseNet layout
+        block_config = tuple(
+            max(int(k.split(".denselayer")[1].split(".")[0])
+                for k in resnet_state if k.startswith(f"features.denseblock{b}."))
+            for b in range(1, 5)
+        )
+        rn_params, rn_stats = import_densenet(resnet_state, block_config)
+    else:
+        rn_params, rn_stats = import_resnet(resnet_state, resnet_layers)
     params: dict = {
         "img_encoder": {
             "backbone": rn_params,

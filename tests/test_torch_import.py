@@ -251,3 +251,47 @@ def test_densenet_backbone_registry_forward():
     g, l, (h, w) = enc.apply(v, jnp.zeros((1, 64, 64, 3)), train=False)
     assert g.shape == (1, 32)
     assert l.shape == (1, h * w, 32)
+
+
+def test_import_gloria_routes_densenet_checkpoints():
+    """A gloria.-prefixed checkpoint whose image tower is a torchvision
+    DenseNet must import through the densenet mapper automatically."""
+    torch.manual_seed(5)
+    import transformers
+
+    hf_cfg = transformers.BertConfig(
+        vocab_size=64, hidden_size=16, num_hidden_layers=1, num_attention_heads=2,
+        intermediate_size=32, max_position_embeddings=32, type_vocab_size=2)
+    bert = transformers.BertModel(hf_cfg)
+    dn = _TorchMiniDenseNet()
+    # norm5 channels of the mini net: follow the block/transition arithmetic
+    ch = dn.INIT
+    for b, n in enumerate(dn.BLOCKS, start=1):
+        ch += n * dn.GROWTH
+        if b != len(dn.BLOCKS):
+            ch //= 2
+    g_emb = torch.nn.Linear(ch, 16)
+    # local tap channels = denseblock3 output
+    ch3 = dn.INIT
+    for b, n in enumerate(dn.BLOCKS[:3], start=1):
+        ch3 += n * dn.GROWTH
+        if b != 3:
+            ch3 //= 2
+    l_emb = torch.nn.Conv2d(ch3, 16, 1, bias=False)
+
+    state = {}
+    for k, v in bert.state_dict().items():
+        state[f"gloria.text_encoder.model.{k}"] = v
+    for k, v in dn.state_dict().items():
+        state[f"gloria.img_encoder.model.{k}"] = v
+    state["gloria.img_encoder.global_embedder.weight"] = g_emb.weight
+    state["gloria.img_encoder.global_embedder.bias"] = g_emb.bias
+    state["gloria.img_encoder.local_embedder.weight"] = l_emb.weight
+
+    variables = torch_import.import_gloria(state, bert_layers=1, bert_heads=2)
+    bb = variables["params"]["img_encoder"]["backbone"]
+    assert "conv0" in bb and "denseblock3_denselayer1" in bb and "norm5" in bb
+    np.testing.assert_allclose(
+        bb["denseblock2_denselayer2"]["conv2"]["kernel"],
+        dn.state_dict()["features.denseblock2.denselayer2.conv2.weight"]
+        .numpy().transpose(2, 3, 1, 0), rtol=1e-6)
