@@ -202,6 +202,11 @@ class GLoRIA(nn.Module):
             attention_entropy_loss_weight=g.attention_entropy_loss_weight,
             chunk=chunk,
             use_fused=bool(g.fused_kernel),
+            # large pairwise intermediates follow the module compute policy
+            # (bf16 under the flagship config) — the same reduced-precision
+            # envelope as the reference's fp16 AMP; softmax element math and
+            # matmul accumulation stay f32 (see ops/gloria_loss.py)
+            compute_dtype=self.dtype,
         )
         loss = 0.0
         metrics = {"local_loss0": l0, "local_loss1": l1}

@@ -70,6 +70,21 @@ def masked_softmax(logits: jnp.ndarray, mask: jnp.ndarray, axis: int) -> jnp.nda
     return jnp.where(mask, out, 0.0)
 
 
+def _softmax_f32(logits: jnp.ndarray, axis: int, out_dtype) -> jnp.ndarray:
+    """Softmax computed in f32 element math, stored in ``out_dtype``.
+
+    When the surrounding program keeps its large intermediates in bf16 for
+    HBM bandwidth, the upcast/downcast converts fuse into the elementwise
+    chain: traffic stays bf16-sized while exp/sum run in f32 registers."""
+    return jax.nn.softmax(logits.astype(jnp.float32), axis=axis).astype(out_dtype)
+
+
+def _masked_softmax_f32(logits: jnp.ndarray, mask: jnp.ndarray, axis: int, out_dtype) -> jnp.ndarray:
+    x = jnp.where(mask, logits.astype(jnp.float32), jnp.finfo(jnp.float32).min)
+    out = jax.nn.softmax(x, axis=axis)
+    return jnp.where(mask, out, 0.0).astype(out_dtype)
+
+
 def attention_fn(
     words: jnp.ndarray,
     regions: jnp.ndarray,
@@ -123,6 +138,7 @@ def local_matching(
     need_flat_attn: bool = False,
     need_sink_mass: bool = False,
     precision=None,
+    compute_dtype=None,
 ) -> LocalMatch:
     """All-pairs word-region matching.
 
@@ -133,16 +149,26 @@ def local_matching(
     similarities[b, t] = log( Σ_w∈valid(t) exp(temp2 · cos(word_tw, ctx_tbw)) )
     (or log-mean for agg='mean'), matching reference ``local_loss`` lines
     144-160 but evaluated for every (t, b) pair at once.
+
+    ``compute_dtype`` (default f32) is the *storage* dtype of the large
+    ``[C, B, S, W]`` pairwise intermediates, which dominate HBM traffic.
+    Passing bf16 halves that traffic while keeping every softmax's element
+    math and every matmul accumulation in f32 — the same reduced-precision
+    envelope as the reference's fp16 AMP training (Lightning ``precision: 16``
+    runs the attention ``bmm``s in fp16, ``configs/*.yaml:12``).  Similarity
+    logits change by O(3e-3); use the default for eval/parity paths.
     """
     T, W, D = words.shape
     B, R, _ = regions.shape
     f32 = jnp.float32
+    cd = f32 if compute_dtype is None else compute_dtype
     words = words.astype(f32)
     ctx = regions.astype(f32)
     if sink is not None:
         sink_row = jnp.broadcast_to(sink.astype(f32)[None, None, :], (B, 1, D))
         ctx = jnp.concatenate([sink_row, ctx], axis=1)
     S = ctx.shape[1]
+    ctx_cd = ctx.astype(cd)
 
     # Region Gram matrix, computed once per image and reused by every caption.
     gram = jnp.einsum("bsd,bud->bsu", ctx, ctx, preferred_element_type=f32, precision=precision)  # [B, S, S]
@@ -164,14 +190,21 @@ def local_matching(
 
     def chunk_body(words_c, mask_c, norm_c, start):
         # words_c: [C, W, D]; mask_c: [C, W]
-        raw = jnp.einsum("bsd,cwd->cbsw", ctx, words_c, preferred_element_type=f32, precision=precision)
-        a1 = masked_softmax(raw, mask_c[:, None, None, :], axis=-1)
-        a2 = jax.nn.softmax(temp1 * jnp.swapaxes(a1, 2, 3), axis=-1)  # [C, B, W, S]
+        raw = jnp.einsum("bsd,cwd->cbsw", ctx_cd, words_c.astype(cd),
+                         preferred_element_type=cd, precision=precision)
+        a1 = _masked_softmax_f32(raw, mask_c[:, None, None, :], -1, cd)
+        # temp1 is a power of two in the reference configs, so the pre-upcast
+        # scalar multiply is exact even in bf16; the upcast fuses into softmax
+        a2 = _softmax_f32(temp1 * jnp.swapaxes(a1, 2, 3), -1, cd)  # [C, B, W, S]
         # cos numerator: word · (attn @ ctx) = Σ_s a2[w,s] raw[s,w]
-        dot = jnp.einsum("cbws,cbsw->cbw", a2, raw, preferred_element_type=f32, precision=precision)
+        # (outputs in cd — the MXU accumulates f32 internally either way, and
+        # bf16-in/f32-out dots are unsupported on the CPU test backend)
+        dot = jnp.einsum("cbws,cbsw->cbw", a2, raw,
+                         preferred_element_type=cd, precision=precision).astype(f32)
         # ‖attn @ ctx‖² via the Gram matrix; clamp ≥0 — reduced-precision
         # matmuls can round tiny values negative, and sqrt(neg) is NaN
-        wctx_norm2 = jnp.einsum("cbws,bsu,cbwu->cbw", a2, gram, a2, preferred_element_type=f32, precision=precision)
+        wctx_norm2 = jnp.einsum("cbws,bsu,cbwu->cbw", a2, gram.astype(cd), a2,
+                                preferred_element_type=cd, precision=precision).astype(f32)
         # clamp strictly above 0: sqrt'(0)=inf would turn the clamp's zero
         # cotangent into 0*inf=NaN when reduced-precision matmuls round ≤0
         denom = jnp.maximum(norm_c[:, None, :] * jnp.sqrt(jnp.maximum(wctx_norm2, 1e-12)), EPS)
@@ -195,19 +228,19 @@ def local_matching(
         if need_diag_attn:
             # pair (t, t) for global text index t = start + c
             gidx = jnp.clip(start + jnp.arange(chunk), 0, B - 1)
-            diag = jax.vmap(lambda a, i: a[i])(attn_region, gidx)  # [C, W, R]
+            diag = jax.vmap(lambda a, i: a[i])(attn_region, gidx).astype(f32)  # [C, W, R]
         flat = None
         if need_flat_attn:
             m = mask_c[:, None, :, None]
             n_valid = jnp.maximum(mask_c.sum(-1), 1)[:, None, None]
-            flat = jnp.where(m, attn_region, 0.0).sum(2) / n_valid  # [C, B, R]
+            flat = jnp.where(m, attn_region.astype(f32), 0.0).sum(2) / n_valid  # [C, B, R]
             if sink is not None:
                 flat = jnp.concatenate([1.0 - flat.sum(-1, keepdims=True), flat], axis=-1)
         smass = None
         if need_sink_mass:
             m = mask_c[:, None, :]
             n_valid = jnp.maximum(mask_c.sum(-1), 1)[:, None]
-            region_mass = jnp.where(m, attn_region.sum(-1), 0.0).sum(-1) / n_valid  # [C, B]
+            region_mass = jnp.where(m, attn_region.astype(f32).sum(-1), 0.0).sum(-1) / n_valid  # [C, B]
             smass = 1.0 - region_mass
         return sims, diag, flat, smass
 
@@ -267,6 +300,7 @@ def local_loss(
     chunk: int = 8,
     precision=None,
     use_fused: bool = False,
+    compute_dtype=None,
 ):
     """Local InfoNCE over the batch similarity matrix + ablation losses.
 
@@ -317,6 +351,7 @@ def local_loss(
             need_flat_attn=need_flat,
             need_sink_mass=no_attn_loss_weight is not None,
             precision=precision,
+            compute_dtype=compute_dtype,
         )
         if no_attn_loss_weight is not None:
             diag_mass = jnp.diagonal(m.sink_mass.T)  # sink_mass is [T, B]

@@ -156,3 +156,33 @@ def test_grads_finite_with_zero_padded_word_rows():
     g_r, g_w = jax.grad(f, argnums=(0, 1))(jnp.asarray(regions), jnp.asarray(words))
     assert np.isfinite(np.asarray(g_r)).all()
     assert np.isfinite(np.asarray(g_w)).all()
+
+
+def test_bf16_storage_path_close_to_f32():
+    # train-path knob: large pairwise intermediates stored bf16 (softmax math
+    # and matmul accumulation stay f32) — the reference's fp16-AMP envelope.
+    # f32 path must be bit-identical with compute_dtype unset or f32.
+    regions, words, cap_lens = make_inputs(seed=12, B=8, W=17, R=11, D=32)
+    args = (jnp.asarray(regions), jnp.asarray(words), jnp.asarray(cap_lens))
+
+    l0_f, l1_f, *_, attn_f = gl.local_loss(*args, chunk=3)
+    l0_e, l1_e, *_, attn_e = gl.local_loss(*args, chunk=3, compute_dtype=jnp.float32)
+    assert float(l0_f) == float(l0_e) and float(l1_f) == float(l1_e)
+    np.testing.assert_array_equal(np.asarray(attn_f), np.asarray(attn_e))
+
+    l0_b, l1_b, *_, attn_b = gl.local_loss(*args, chunk=3, compute_dtype=jnp.bfloat16)
+    assert attn_b.dtype == jnp.float32
+    np.testing.assert_allclose(float(l0_b), float(l0_f), rtol=0.02, atol=0.02)
+    np.testing.assert_allclose(float(l1_b), float(l1_f), rtol=0.02, atol=0.02)
+    np.testing.assert_allclose(np.asarray(attn_b), np.asarray(attn_f), atol=0.02)
+
+    def f(r, w):
+        l0, l1, *_ = gl.local_loss(r, w, args[2], chunk=3, compute_dtype=jnp.bfloat16)
+        return l0 + l1
+
+    g_r, g_w = jax.grad(f, argnums=(0, 1))(args[0], args[1])
+    assert np.isfinite(np.asarray(g_r)).all()
+    assert np.isfinite(np.asarray(g_w)).all()
+    # masked word positions still get exactly zero gradient through bf16 buffers
+    for i in range(len(cap_lens)):
+        assert np.abs(np.asarray(g_w)[i, int(cap_lens[i]):]).max() == 0.0
