@@ -15,7 +15,8 @@ Flags:
   --cpu-baseline   measure the full config on CPU and print it (slow)
   --steps N        timed steps per repeat (default 30)
   --repeats N      timing repeats; the median is reported (default 3)
-  --loss-chunk N   text-axis chunk of the local matching scan (default 8)
+  --loss-chunk N   text-axis remat chunk of the local matching (default 0 =
+                   unchunked/no-remat, fastest at B=48; chunk for big batches)
 """
 
 from __future__ import annotations
@@ -34,7 +35,7 @@ import time
 CPU_BASELINE_PAIRS_PER_SEC = 0.077
 
 
-def build(smoke: bool, batch_override: int | None = None, loss_chunk: int = 8,
+def build(smoke: bool, batch_override: int | None = None, loss_chunk: int = 0,
           fused: bool = False):
     import jax
     import jax.numpy as jnp
@@ -115,7 +116,7 @@ def main() -> int:
     ap.add_argument("--cpu-baseline", action="store_true")
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--repeats", type=int, default=3)
-    ap.add_argument("--loss-chunk", type=int, default=8)
+    ap.add_argument("--loss-chunk", type=int, default=0)
     ap.add_argument("--fused", action="store_true",
                     help="route the local-matching sims through the Pallas kernel")
     ap.add_argument("--batch-size", type=int, default=None,

@@ -68,7 +68,7 @@ def build_scheduler(cfg: Config) -> optim.LRScheduler:
 
 
 def init_gloria(cfg: Config, batch: dict, seed: int = 0, dtype=jnp.float32,
-                return_attn: bool = False, loss_chunk: int = 8):
+                return_attn: bool = False, loss_chunk: int = 0):
     """Initialize model + optimizer + train state from an example batch.
     Returns (model, state, train_step, eval_step)."""
     model = build_gloria_model(cfg, dtype=dtype)

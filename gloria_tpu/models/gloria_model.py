@@ -185,7 +185,7 @@ class GLoRIA(nn.Module):
         cap_lens: jnp.ndarray,
         grid: tuple[int, int],
         segmentation_labels: jnp.ndarray | None = None,
-        chunk: int = 8,
+        chunk: int = 0,
     ):
         """Weighted multi-term loss (reference ``calc_loss``,
         ``gloria_model.py:132-150``). Returns (loss, metrics dict, attn [B,W,R])."""

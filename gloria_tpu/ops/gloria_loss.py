@@ -10,8 +10,11 @@ and ``GLoRIA.get_attn_maps`` — as one fixed-shape batched program:
   image batch and calling ``bmm`` twice per caption (O(B) kernel launches and
   an effectively serial schedule). Here the full pairwise tensor
   ``[T_text, B_img, S_regions, W_words]`` is computed by batched einsums that
-  XLA tiles directly onto the MXU, chunked over the text axis with
-  ``lax.scan`` + rematerialization to bound HBM footprint.
+  XLA tiles directly onto the MXU.  ``chunk > 0`` opts into a ``lax.scan`` +
+  rematerialization over the text axis to bound HBM footprint — needed for
+  large batches (the pairwise tensors grow O(B²)); at the reference's B=48
+  the unchunked no-remat program is fastest (638 vs 625 pairs/s on v5e) and
+  is the default.
 - Variable caption lengths become *masks* over a static word axis: a masked
   softmax over valid words is numerically identical to the reference's sliced
   softmax (invalid logits → -inf → exactly zero probability).
@@ -133,7 +136,7 @@ def local_matching(
     temp2: float,
     agg: str = "sum",
     sink: jnp.ndarray | None = None,
-    chunk: int = 8,
+    chunk: int = 0,
     need_diag_attn: bool = True,
     need_flat_attn: bool = False,
     need_sink_mass: bool = False,
@@ -244,11 +247,12 @@ def local_matching(
             smass = 1.0 - region_mass
         return sims, diag, flat, smass
 
-    chunk_body = jax.checkpoint(chunk_body, static_argnums=())
-
     if n_chunks == 1:
+        # no scan → no remat: keep the (bounded, single-chunk) intermediates
+        # alive for backward instead of recomputing the whole forward
         sims, diag, flat, smass = chunk_body(words_p, mask_p, norm_p, 0)
     else:
+        chunk_body = jax.checkpoint(chunk_body, static_argnums=())
         xs = (
             words_p.reshape(n_chunks, chunk, W, D),
             mask_p.reshape(n_chunks, chunk, W),
@@ -297,7 +301,7 @@ def local_loss(
     no_attn_loss_weight: float | None = None,
     attention_divergence_loss_weight: float | None = None,
     attention_entropy_loss_weight: float | None = None,
-    chunk: int = 8,
+    chunk: int = 0,
     precision=None,
     use_fused: bool = False,
     compute_dtype=None,

@@ -48,7 +48,7 @@ def create_train_state(
 
 
 def make_pretrain_steps(
-    model: GLoRIA, tx: optax.GradientTransformation, *, loss_chunk: int = 8,
+    model: GLoRIA, tx: optax.GradientTransformation, *, loss_chunk: int = 0,
     donate: bool = True, return_attn: bool = False,
 ) -> tuple[Callable, Callable]:
     """Returns (train_step(state, batch) -> (state, metrics),
