@@ -12,6 +12,15 @@ scales as one pjit'd SPMD computation over a ``jax.sharding.Mesh``:
   split along its largest divisible axis and all-gathered just-in-time by
   XLA.  For the ~130M-parameter GLoRIA this is optional but keeps the design
   ready for bigger text towers.
+- axis ``"model"`` (optional): Megatron-style tensor parallelism over the
+  transformer towers (BERT text encoder + the optional image transformer).
+  QKV and MLP-in projections are column-parallel (output features sharded),
+  attention-out and MLP-out are row-parallel (input features sharded); GSPMD
+  propagates these parameter shardings through the matmuls and inserts the
+  all-reduce after each row-parallel projection.  The reference has nothing
+  comparable (single-process ``nn.DataParallel`` only); at GLoRIA's 130M
+  params TP is headroom, not need — the rules exist so the same program
+  scales to bigger towers without a rewrite.
 """
 
 from __future__ import annotations
@@ -26,8 +35,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def create_mesh(
     n_devices: int | None = None,
     fsdp: int = 1,
+    tp: int = 1,
     devices: list | None = None,
 ) -> Mesh:
+    """(data, fsdp, model) mesh; fsdp/tp axes default to size 1 (pure DP).
+
+    Axis order puts ``model`` innermost so tensor-parallel all-reduces ride
+    the fastest ICI links on a real slice."""
     devices = devices if devices is not None else jax.devices()
     if n_devices is not None:
         if len(devices) < n_devices:
@@ -40,10 +54,10 @@ def create_mesh(
             )
         devices = devices[:n_devices]
     n = len(devices)
-    if n % fsdp:
-        raise ValueError(f"{n} devices not divisible by fsdp={fsdp}")
-    arr = np.asarray(devices).reshape(n // fsdp, fsdp)
-    return Mesh(arr, axis_names=("data", "fsdp"))
+    if n % (fsdp * tp):
+        raise ValueError(f"{n} devices not divisible by fsdp={fsdp} × tp={tp}")
+    arr = np.asarray(devices).reshape(n // (fsdp * tp), fsdp, tp)
+    return Mesh(arr, axis_names=("data", "fsdp", "model"))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -59,29 +73,66 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
     )
 
 
-def param_spec(path_keys: tuple[str, ...], value: Any, fsdp_size: int) -> P:
-    """FSDP rule: shard the largest axis divisible by the fsdp axis size;
+# Megatron-style TP rules over the transformer towers.  Column-parallel
+# (output features sharded) feeds row-parallel (input features sharded); the
+# only cross-device talk is the all-reduce GSPMD inserts after each
+# row-parallel matmul.  Covers both flax module shapes in this repo:
+# Dense kernels [in, out] and MultiHeadDotProductAttention kernels
+# [in, heads, head_dim] / [heads, head_dim, out] (head-sharded).
+_TP_COL = {"query", "key", "value", "intermediate", "linear1"}
+_TP_ROW = {"out", "output", "linear2"}
+_TP_SCOPES = ("layer_", "image_transformer_", "self_attn", "attention")
+
+
+def _tp_dim(path_keys: tuple[str, ...], value: Any, tp_size: int) -> int | None:
+    """Index of the axis to place on 'model', or None (replicate over tp)."""
+    if tp_size <= 1 or value.ndim < 1 or len(path_keys) < 2:
+        return None
+    if not any(k.startswith(s) or k == s for k in path_keys for s in _TP_SCOPES):
+        return None
+    leaf, parent = path_keys[-1], path_keys[-2]
+    if leaf == "kernel" and value.ndim >= 2:
+        dim = 1 if parent in _TP_COL else 0 if parent in _TP_ROW else None
+    elif leaf == "bias" and parent in _TP_COL:
+        dim = 0  # column-parallel bias lives with its output shard
+    else:
+        dim = None
+    if dim is not None and value.shape[dim] % tp_size == 0:
+        return dim
+    return None
+
+
+def param_spec(path_keys: tuple[str, ...], value: Any, fsdp_size: int,
+               tp_size: int = 1) -> P:
+    """TP rule first (name-matched transformer projections on 'model'), then
+    FSDP: shard the largest remaining axis divisible by the fsdp axis size;
     replicate small/indivisible params."""
-    if fsdp_size <= 1 or value.ndim == 0 or value.size < 2**16:
+    spec = [None] * value.ndim
+    tp_dim = _tp_dim(path_keys, value, tp_size)
+    if tp_dim is not None:
+        spec[tp_dim] = "model"
+    if fsdp_size > 1 and value.ndim > 0 and value.size >= 2**16:
+        dims = list(value.shape)
+        order = sorted(range(len(dims)), key=lambda i: -dims[i])
+        for i in order:
+            if i != tp_dim and dims[i] % fsdp_size == 0:
+                spec[i] = "fsdp"
+                break
+    if all(s is None for s in spec):
         return P()
-    dims = list(value.shape)
-    order = sorted(range(len(dims)), key=lambda i: -dims[i])
-    for i in order:
-        if dims[i] % fsdp_size == 0:
-            spec = [None] * len(dims)
-            spec[i] = "fsdp"
-            return P(*spec)
-    return P()
+    return P(*spec)
 
 
 def shard_params(variables: dict, mesh: Mesh) -> dict:
-    """Place a variable tree on the mesh per the FSDP rule ('fsdp' axis) with
-    everything replicated over 'data'."""
-    fsdp_size = mesh.shape["fsdp"]
+    """Place a variable tree on the mesh per the TP + FSDP rules
+    ('model'/'fsdp' axes) with everything replicated over 'data'."""
+    fsdp_size = mesh.shape.get("fsdp", 1)
+    tp_size = mesh.shape.get("model", 1)
 
     def place(path, x):
         keys = tuple(getattr(p, "key", str(p)) for p in path)
-        return jax.device_put(x, NamedSharding(mesh, param_spec(keys, x, fsdp_size)))
+        return jax.device_put(
+            x, NamedSharding(mesh, param_spec(keys, x, fsdp_size, tp_size)))
 
     return jax.tree_util.tree_map_with_path(place, variables)
 

@@ -51,6 +51,8 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--fused_kernel", action="store_true",
                    help="route the O(B²) local-matching sims through the Pallas kernel")
     p.add_argument("--fsdp", type=int, default=1)
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel degree over the transformer towers")
     p.add_argument("--multihost", action="store_true",
                    help="initialize jax.distributed for multi-host SPMD (DCN)")
     p.add_argument("--n_seeds", type=int, default=1,
@@ -110,7 +112,8 @@ def main(cfg, args) -> dict:
     from gloria_tpu.utils.logging import MetricLogger
 
     phase = (cfg.phase or "pretrain").lower()
-    mesh = create_mesh(fsdp=max(1, args.fsdp)) if jax.device_count() > 1 else None
+    mesh = (create_mesh(fsdp=max(1, args.fsdp), tp=max(1, getattr(args, "tp", 1)))
+            if jax.device_count() > 1 else None)
 
     def to_device(batch):
         b = {k: jnp.asarray(v) for k, v in device_batch(batch).items()}

@@ -61,6 +61,41 @@ def test_dp_fsdp_step_matches_single_device():
     assert worst < 5e-4, f"param divergence {worst}"
 
 
+def test_dp_tp_step_matches_single_device():
+    """Megatron-style tensor parallelism over the BERT tower: dp=2 × fsdp=2
+    × tp=2 step must reproduce single-device numerics."""
+    assert jax.device_count() >= 8, "conftest must provide the 8-device CPU mesh"
+    raw = make_synthetic_batch(batch_size=8, num_tokens=24, imsize=64, vocab_size=256)
+    cfg = tiny_cfg()
+
+    model, state1, step1, _ = init_gloria(cfg, raw)
+    batch1 = {k: jnp.asarray(v) for k, v in raw.items()}
+    new1, m1 = step1(state1, batch1)
+
+    mesh = create_mesh(8, fsdp=2, tp=2)
+    with mesh:
+        model, state8, step8, _ = init_gloria(cfg, raw)
+        state8 = state8.replace(
+            params=shard_params(state8.params, mesh),
+            batch_stats=replicate(state8.batch_stats, mesh),
+            opt_state=shard_params(state8.opt_state, mesh),
+        )
+        # the TP rules must actually fire on the attention/MLP projections
+        specs = jax.tree_util.tree_map(lambda x: x.sharding.spec, state8.params)
+        flat = jax.tree_util.tree_flatten_with_path(specs)[0]
+        tp_leaves = [p for p, s in flat if "model" in s]
+        assert any("query" in str(p) for p in tp_leaves), tp_leaves
+        assert any("intermediate" in str(p) for p in tp_leaves), tp_leaves
+        batch8 = shard_batch({k: jnp.asarray(v) for k, v in raw.items()}, mesh)
+        new8, m8 = step8(state8, batch8)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-4)
+    flat1 = jax.tree_util.tree_leaves(jax.device_get(new1.params))
+    flat8 = jax.tree_util.tree_leaves(jax.device_get(new8.params))
+    worst = max(float(np.abs(a - b).max()) for a, b in zip(flat1, flat8))
+    assert worst < 5e-4, f"param divergence {worst}"
+
+
 def test_param_spec_rules():
     import numpy as np
 
