@@ -116,10 +116,13 @@ class GloriaModel:
     def get_local_similarities(self, img_emb_l, text_emb_l, cap_lens) -> np.ndarray:
         sink = self.variables["params"].get("no_attn_vec")
         g = (self.cfg.model.gloria if self.cfg.model else None) or Config()
+        # fused_kernel: True/False pins the path; unset → auto (Pallas on TPU)
+        use_fused = (gloria_loss.fused_eval_default() if g.fused_kernel is None
+                     else bool(g.fused_kernel))
         return np.asarray(gloria_loss.local_similarities_eval(
             img_emb_l, text_emb_l, jnp.asarray(cap_lens),
             temp1=4.0, temp2=5.0, sink=sink,  # hardcoded in the reference eval path
-            use_fused=bool(g.fused_kernel),
+            use_fused=use_fused,
         ))
 
     def get_attn_maps(self, img_emb_l, text_emb_l, cap_lens):

@@ -413,6 +413,16 @@ def global_similarities(img_emb: jnp.ndarray, txt_emb: jnp.ndarray) -> jnp.ndarr
     return img @ txt.T
 
 
+def fused_eval_default() -> bool:
+    """Auto policy for the eval similarity path: the Pallas kernel
+    (:mod:`gloria_tpu.ops.pallas.local_sim`) wins 2.42× over XLA on TPU at
+    the 5×200 zero-shot shape and is TPU-only (no CPU interpret fallback is
+    wired); everywhere else the XLA program is used."""
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
 def local_similarities_eval(
     img_regions: jnp.ndarray,
     words: jnp.ndarray,
