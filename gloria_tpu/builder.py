@@ -76,5 +76,7 @@ def init_gloria(cfg: Config, batch: dict, seed: int = 0, dtype=jnp.float32,
     variables = model.init(jax.random.PRNGKey(seed), model_batch)
     tx = build_optimizer(cfg, variables["params"])
     state = create_train_state(model, variables, tx, jax.random.PRNGKey(seed + 1))
-    train_step, eval_step = make_pretrain_steps(model, tx, return_attn=return_attn, loss_chunk=loss_chunk)
+    train_step, eval_step = make_pretrain_steps(
+        model, tx, return_attn=return_attn, loss_chunk=loss_chunk,
+        dropout_impl=(cfg.train.dropout_rng if cfg.train else None) or "rbg")
     return model, state, train_step, eval_step

@@ -137,7 +137,10 @@ class MimicCxrFiler(PhysioNetFiler):
         from .nifti import save_nifti
 
         os.makedirs(os.path.dirname(out), exist_ok=True)
-        save_nifti(out, np.asarray(img, np.int16))
+        # preserve the array dtype: decoded DICOMs arrive uint8, but a
+        # registration hook may return floats, which a fixed int16 cast
+        # would silently truncate (save_nifti handles all common dtypes)
+        save_nifti(out, np.asarray(img))
         if remove_dicom and os.path.exists(path):
             os.remove(path)
         return out
@@ -182,6 +185,13 @@ class MimicCxrFiler(PhysioNetFiler):
             nii = self.save_nifti_from_dicom(subject_id, study_id, dicom_id,
                                              process_function=process_function)
             img = np.asarray(load_nifti(nii))
+            if img.dtype != np.uint8:
+                # registration output can be float; bring it to the same
+                # uint8 range read_dicom produces so the cache dtype is
+                # uniform regardless of ingestion path
+                import cv2
+
+                img = cv2.convertScaleAbs(img, alpha=255.0 / max(float(img.max()), 1e-8))
         else:
             path = self._fetch_dicom(subject_id, study_id, dicom_id)
             img = self._read_dicom_with_retry(path, subject_id, study_id, dicom_id)

@@ -21,6 +21,8 @@ from typing import Any, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
+from .densenet import DENSENETS, DenseNet
+
 ModuleDef = Any
 
 
@@ -144,19 +146,10 @@ BACKBONES: dict[str, tuple[dict, int, int]] = {
 }
 
 
-def _densenets():
-    from .densenet import DENSENETS
-
-    return DENSENETS
-
-
-BACKBONES.update(_densenets())
+BACKBONES.update(DENSENETS)
 
 
 def make_backbone(name: str, dtype=jnp.float32, module_name: str = "backbone"):
     spec, feature_dim, interm_dim = BACKBONES[name]
-    if name.startswith("densenet"):
-        from .densenet import DenseNet
-
-        return DenseNet(**spec, dtype=dtype, name=module_name), feature_dim, interm_dim
-    return ResNet(**spec, dtype=dtype, name=module_name), feature_dim, interm_dim
+    cls = DenseNet if name.startswith("densenet") else ResNet
+    return cls(**spec, dtype=dtype, name=module_name), feature_dim, interm_dim

@@ -413,11 +413,42 @@ def global_similarities(img_emb: jnp.ndarray, txt_emb: jnp.ndarray) -> jnp.ndarr
     return img @ txt.T
 
 
+def local_similarities_eval_diag(
+    img_regions: jnp.ndarray,
+    words: jnp.ndarray,
+    cap_lens: jnp.ndarray,
+    *,
+    temp1: float = 4.0,
+    temp2: float = 5.0,
+    sink: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """diagonal(:func:`local_similarities_eval`) as an O(B) aligned program.
+
+    The localization callbacks persist only the (i, i) pair similarities
+    (reference ``callbacks.py:385-408`` takes ``diagonal(...)``); computing
+    the full [B, B] pairwise matrix for its diagonal costs a second
+    local-matching program per step.  This computes just the aligned pairs
+    with one :func:`attention_fn` pass: identical math, 1/B the FLOPs.
+    """
+    W = words.shape[1]
+    mask = make_word_mask(cap_lens, W, "eval")
+    words = words.astype(jnp.float32)
+    weighted, _ = attention_fn(
+        words, img_regions.astype(jnp.float32), temp1, word_mask=mask, sink=sink)
+    dot = jnp.sum(words * weighted, axis=-1)  # [B, W]
+    wn = jnp.sqrt(jnp.maximum(jnp.sum(words * words, axis=-1), 1e-12))
+    cn = jnp.sqrt(jnp.maximum(jnp.sum(weighted * weighted, axis=-1), 1e-12))
+    cos = jnp.where(mask, dot / jnp.maximum(wn * cn, EPS), 0.0)
+    e = jnp.where(mask, jnp.exp(temp2 * cos), 0.0)
+    return jnp.log(jnp.maximum(e.max(-1), EPS))
+
+
 def fused_eval_default() -> bool:
     """Auto policy for the eval similarity path: the Pallas kernel
     (:mod:`gloria_tpu.ops.pallas.local_sim`) wins 2.42× over XLA on TPU at
-    the 5×200 zero-shot shape and is TPU-only (no CPU interpret fallback is
-    wired); everywhere else the XLA program is used."""
+    the 5×200 zero-shot shape; elsewhere the XLA program is used (the
+    kernel's off-TPU interpret fallback exists but is far slower than XLA,
+    so auto only picks the kernel on real TPU)."""
     import jax
 
     return jax.default_backend() == "tpu"
@@ -442,14 +473,14 @@ def local_similarities_eval(
     ``use_fused`` routes through the Pallas kernel (measured 2.4× faster at
     the 5×200 eval shape; bf16-tolerance numerics vs this path).
     """
-    W = words.shape[1]
-    mask = make_word_mask(cap_lens, W, "eval")
     if use_fused:
         from .pallas.local_sim import local_similarities_fused
 
         return local_similarities_fused(
             img_regions, words, cap_lens, temp1=temp1, temp2=temp2,
             agg="max", convention="eval", sink=sink)
+    W = words.shape[1]
+    mask = make_word_mask(cap_lens, W, "eval")
     m = local_matching(
         words, img_regions, mask,
         temp1=temp1, temp2=temp2, agg="max", sink=sink, chunk=chunk,

@@ -49,7 +49,7 @@ def create_train_state(
 
 def make_pretrain_steps(
     model: GLoRIA, tx: optax.GradientTransformation, *, loss_chunk: int = 0,
-    donate: bool = True, return_attn: bool = False,
+    donate: bool = True, return_attn: bool = False, dropout_impl: str = "rbg",
 ) -> tuple[Callable, Callable]:
     """Returns (train_step(state, batch) -> (state, metrics),
                 eval_step(state, batch) -> metrics).  Metrics include the
@@ -71,26 +71,34 @@ def make_pretrain_steps(
         persists ``diagonal(get_local_similarities)`` and
         ``diagonal(get_global_similarities)`` per sentence row
         (``callbacks.py:385-408``).  Eval temps are the reference's hardcoded
-        4.0/5.0 (``gloria_model.py:171-207``)."""
+        4.0/5.0 (``gloria_model.py:171-207``).  Only the aligned pairs are
+        computed (O(B), not the full O(B²) pairwise matrix)."""
         img_l, img_g, txt_l, txt_g, _ = outs
-        local = gloria_loss.local_similarities_eval(
+        local = gloria_loss.local_similarities_eval_diag(
             img_l, txt_l, batch["cap_lens"], temp1=4.0, temp2=5.0,
-            sink=params.get("no_attn_vec"), chunk=loss_chunk, precision=None,
+            sink=params.get("no_attn_vec"),
         )
         glob = gloria_loss.global_similarities(img_g, txt_g)
-        return jnp.diagonal(local), jnp.diagonal(glob)
+        return local, jnp.diagonal(glob)
 
     def _dropout_rng(rng, step):
-        """Per-step dropout key with rbg (counter-based) bit generation.
+        """Per-step dropout key; bit generation per ``dropout_impl``.
 
-        threefry mask generation for BERT's 12 dropout layers costs ~12.6
-        ms/step at B=48 on v5e (measured: text encoder fwd+bwd 34.2 ms with
-        threefry dropout vs 21.6 ms without); the hardware rng_bit_generator
-        is effectively free.  The stored ``state.rng`` stays a raw threefry
-        key so checkpoints serialize as plain arrays — only the cheap scalar
-        fold_in runs under threefry, then the folded data seeds an rbg key.
-        """
+        Default "rbg" (XLA RngBitGenerator): threefry mask generation for
+        BERT's 12 dropout layers costs ~12.6 ms/step at B=48 on v5e
+        (measured: text encoder fwd+bwd 34.2 ms with threefry dropout vs
+        21.6 ms without); the hardware rng_bit_generator is effectively
+        free.  The trade-off: rbg bits are documented as implementation-
+        and sharding-dependent, so dropout masks are NOT bit-reproducible
+        across backends or mesh shapes (the masks are still valid i.i.d.
+        draws — training statistics are unaffected).  Pass
+        ``dropout_impl="threefry"`` (cfg ``train.dropout_rng``) when
+        bit-exact cross-sharding reproducibility matters more than the
+        ~16% step-time cost.  The stored ``state.rng`` stays a raw threefry
+        key either way so checkpoints serialize as plain arrays."""
         folded = jax.random.fold_in(rng, step)  # raw [2] uint32
+        if dropout_impl == "threefry":
+            return folded
         return jax.random.wrap_key_data(jnp.tile(folded, 2), impl="rbg")
 
     def train_step(state: TrainState, batch: dict):

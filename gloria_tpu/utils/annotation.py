@@ -75,10 +75,15 @@ def project_bboxes(original_shape: tuple[int, int], bboxes: list,
 class AnnotationStore:
     """CSV-backed annotation CRUD with the reference's row schema."""
 
+    # key columns are always compared as strings: read_csv would otherwise
+    # coerce numeric-looking dicom/sent ids to int64 and make reloaded
+    # stores miss lookups against the str keys the UI passes
+    _KEY_COLS = ("dicom_id", "sent_id", "checkpoint_name")
+
     def __init__(self, path: str | Path):
         self.path = Path(path)
         if self.path.exists():
-            self.df = pd.read_csv(self.path)
+            self.df = pd.read_csv(self.path, dtype={c: str for c in self._KEY_COLS})
             for col in ANNOTATION_COLUMNS:
                 if col not in self.df.columns:
                     self.df[col] = np.nan
@@ -87,22 +92,23 @@ class AnnotationStore:
 
     # -- queries ----------------------------------------------------------------
     def _key_mask(self, dicom_id, sent_id, checkpoint_name):
-        return ((self.df.dicom_id == dicom_id) & (self.df.sent_id == sent_id)
-                & (self.df.checkpoint_name == checkpoint_name))
+        return ((self.df.dicom_id.astype(str) == str(dicom_id))
+                & (self.df.sent_id.astype(str) == str(sent_id))
+                & (self.df.checkpoint_name.astype(str) == str(checkpoint_name)))
 
     def lookup(self, dicom_id, sent_id, checkpoint_name) -> dict | None:
         rows = self.df[self._key_mask(dicom_id, sent_id, checkpoint_name)]
         return rows.iloc[0].to_dict() if len(rows) else None
 
     def annotated_sent_ids(self, dicom_id, checkpoint_name) -> set:
-        rows = self.df[(self.df.dicom_id == dicom_id)
-                       & (self.df.checkpoint_name == checkpoint_name)]
-        return set(rows.sent_id)
+        rows = self.df[(self.df.dicom_id.astype(str) == str(dicom_id))
+                       & (self.df.checkpoint_name.astype(str) == str(checkpoint_name))]
+        return {str(s) for s in rows.sent_id}
 
     def custom_sent_id(self, dicom_id, prompt: str) -> str:
         """Reuse the id of a previously-annotated identical custom prompt,
         else mint custom<N> (reference interface.py:268-275)."""
-        rows = self.df[(self.df.dicom_id == dicom_id)
+        rows = self.df[(self.df.dicom_id.astype(str) == str(dicom_id))
                        & (self.df.is_custom_prompt.fillna(False).astype(bool))]
         same = rows[rows.prompt == prompt]
         if len(same):
@@ -112,6 +118,8 @@ class AnnotationStore:
 
     # -- mutations ---------------------------------------------------------------
     def submit(self, record: dict) -> None:
+        record = {**record,
+                  **{c: str(record[c]) for c in self._KEY_COLS if c in record}}
         mask = self._key_mask(record["dicom_id"], record["sent_id"],
                               record["checkpoint_name"])
         self.df = self.df[~mask]

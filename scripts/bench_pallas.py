@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import argparse
 import sys
-import time
 from pathlib import Path
 
 import numpy as np
@@ -22,20 +21,7 @@ import jax
 import jax.numpy as jnp
 
 
-def timeit(fn, steps=20):
-    out = fn()
-    float(jnp.sum(out[0] if isinstance(out, tuple) else out))
-    rates = []
-    for _ in range(3):
-        acc = []
-        t0 = time.perf_counter()
-        for _ in range(steps):
-            out = fn()
-            acc.append(jnp.sum(out[0] if isinstance(out, tuple) else out))
-        float(jnp.stack(acc).sum())
-        rates.append((time.perf_counter() - t0) / steps * 1000)
-    rates.sort()
-    return rates[1]
+from _timing import timeit_ms as timeit  # noqa: E402  (median-of-3, value-materialized)
 
 
 def main():

@@ -27,22 +27,7 @@ import jax
 import jax.numpy as jnp
 
 
-def timeit(fn, args, steps: int, sink=lambda out: out[0]) -> float:
-    """Median-of-3 runs of `steps` calls; returns ms/call.  `fn` must return
-    something whose sink() depends on the whole computation."""
-    out = fn(*args)
-    float(jnp.sum(sink(out)))  # compile + settle
-    rates = []
-    for _ in range(3):
-        acc = []
-        t0 = time.perf_counter()
-        for _ in range(steps):
-            out = fn(*args)
-            acc.append(jnp.sum(sink(out)))
-        float(jnp.stack(acc).sum())
-        rates.append((time.perf_counter() - t0) / steps * 1000)
-    rates.sort()
-    return rates[1]
+from _timing import timeit_ms as timeit  # noqa: E402  (median-of-3, value-materialized)
 
 
 def main():

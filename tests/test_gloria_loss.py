@@ -91,6 +91,20 @@ def test_eval_similarities_match_oracle():
     np.testing.assert_allclose(np.asarray(sims), ref["similarities"], rtol=8e-5, atol=8e-5)
 
 
+@pytest.mark.parametrize("with_sink", [False, True])
+def test_eval_diag_matches_pairwise_diagonal(with_sink):
+    # O(B) aligned diagonal ≡ diagonal of the O(B²) pairwise eval matrix
+    regions, words, cap_lens = make_inputs(seed=7)
+    sink = (jnp.asarray(np.random.RandomState(8).randn(regions.shape[2]),
+                        jnp.float32) if with_sink else None)
+    full = gl.local_similarities_eval(
+        jnp.asarray(regions), jnp.asarray(words), jnp.asarray(cap_lens), sink=sink)
+    diag = gl.local_similarities_eval_diag(
+        jnp.asarray(regions), jnp.asarray(words), jnp.asarray(cap_lens), sink=sink)
+    np.testing.assert_allclose(np.asarray(diag), np.diagonal(np.asarray(full)),
+                               rtol=5e-5, atol=5e-5)
+
+
 def test_global_loss_matches_oracle():
     rng = np.random.RandomState(7)
     img = rng.randn(8, 32).astype(np.float32)

@@ -76,6 +76,26 @@ def test_annotation_store_crud(tmp_path):
     assert set(store2.df.sent_id) == {"custom0"}
 
 
+def test_annotation_store_numeric_ids_survive_reload(tmp_path):
+    """Regression: pandas.read_csv coerces numeric-looking ids to int64,
+    which used to break str-keyed lookup/replace after a UI restart."""
+    store = AnnotationStore(tmp_path / "ann.csv")
+    rec = {"dicom_id": "53912345", "sent_id": "7", "checkpoint_name": "m1",
+           "prompt": "effusion", "has_good_recall": 2, "has_good_precision": 2,
+           "is_intuitive": 3, "is_custom_prompt": False, "no_attn_score": 0.0}
+    store.submit(rec)
+    store2 = AnnotationStore(tmp_path / "ann.csv")
+    assert store2.lookup("53912345", "7", "m1") is not None
+    assert store2.annotated_sent_ids("53912345", "m1") == {"7"}
+    store2.submit({**rec, "has_good_recall": 5})  # replaces, no duplicate
+    assert len(store2.df) == 1
+    assert store2.lookup("53912345", "7", "m1")["has_good_recall"] == 5
+    # int-typed keys from a caller hit the same row as their str forms
+    assert store2.lookup(53912345, 7, "m1") is not None
+    store2.delete(53912345, 7, "m1")
+    assert len(store2.df) == 0
+
+
 # ---------------------------------------------------------------------------
 # scripted end-to-end drive of interface.main
 # ---------------------------------------------------------------------------

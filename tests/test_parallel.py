@@ -96,6 +96,18 @@ def test_dp_tp_step_matches_single_device():
     assert worst < 5e-4, f"param divergence {worst}"
 
 
+def test_threefry_dropout_impl_runs():
+    """cfg train.dropout_rng=threefry (bit-reproducible across shardings)
+    must produce a working, finite step."""
+    raw = make_synthetic_batch(batch_size=4, num_tokens=16, imsize=32, vocab_size=256)
+    cfg = tiny_cfg()
+    cfg.set_path("train.dropout_rng", "threefry")
+    model, state, step, _ = init_gloria(cfg, raw)
+    batch = {k: jnp.asarray(v) for k, v in raw.items()}
+    _, m = step(state, batch)
+    assert np.isfinite(float(m["loss"]))
+
+
 def test_param_spec_rules():
     import numpy as np
 
