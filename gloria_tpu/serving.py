@@ -1,0 +1,304 @@
+"""Production inference serving: shape-bucketed, dynamically-batched zero-shot.
+
+The reference is research scripts only — its zero-shot path re-runs the
+image tower once per class and recompiles on every new batch size
+(``/root/reference/gloria/gloria.py:184-275``).  This module is the
+deployment path the reference lacks, designed around XLA's compilation
+model:
+
+- **Shape buckets.** XLA compiles one executable per input shape; ad-hoc
+  request sizes would each pay a multi-second compile.  Every image batch
+  is padded to the next power-of-two bucket (≤ ``max_batch``) so at most
+  ``log2(max_batch)+1`` executables ever exist, and ``warmup()`` builds
+  them ahead of traffic.
+- **Encode once, score per class.** Class prompts are tokenized and
+  encoded ONCE at ``set_classes``; each request runs the image tower once
+  and reuses the cached text embeddings for every class (the reference
+  re-encodes the images per class).  The local-similarity scoring
+  auto-routes through the fused Pallas kernel on TPU (``api.py``).
+- **Dynamic batching.** ``DynamicBatcher`` coalesces concurrent requests
+  up to ``max_batch`` or ``max_wait_ms`` and resolves
+  ``concurrent.futures.Future``s, so many small callers share one padded
+  device program.
+- **Stdlib HTTP front end.** ``serve_http`` exposes ``POST /classify``
+  (JSON ``{"paths": [...]}`` or base64 ``{"arrays_b64": ...}``) and
+  ``GET /healthz`` on ``http.server`` — no web framework dependency.
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import queue
+import threading
+from concurrent.futures import Future
+from typing import Sequence
+
+import numpy as np
+
+from .api import GloriaModel, generate_chexpert_class_prompts
+
+
+def _next_bucket(n: int, max_batch: int) -> int:
+    b = 1
+    while b < n and b < max_batch:
+        b *= 2
+    return min(b, max_batch)
+
+
+class InferenceEngine:
+    """Zero-shot / similarity scoring over a loaded :class:`GloriaModel`."""
+
+    def __init__(self, model: GloriaModel, classes: dict | None = None,
+                 max_batch: int = 64):
+        import jax
+
+        self.model = model
+        self.max_batch = max_batch
+        self._jax = jax
+        gloria = model.model
+
+        def img_fwd(variables, imgs):
+            emb_l, emb_g, _ = gloria.apply(
+                variables, imgs, train=False,
+                method=type(gloria).image_encoder_forward)
+            return emb_l, emb_g
+
+        self._img_fwd = jax.jit(img_fwd)
+        self._classes: dict[str, dict] = {}
+        if classes is not None:
+            self.set_classes(classes)
+
+    # -- class prompt cache --------------------------------------------------
+    def set_classes(self, cls_txt_mapping: dict) -> None:
+        """Tokenize + encode each class's prompts once; per-request work is
+        then the image tower + similarity kernels only."""
+        import jax.numpy as jnp
+
+        gloria = self.model.model
+        cache = {}
+        for name, prompts in cls_txt_mapping.items():
+            txt = self.model.process_text(list(prompts))
+            txt_l, txt_g = gloria.apply(
+                self.model.variables,
+                jnp.asarray(txt["caption_ids"]), jnp.asarray(txt["attention_mask"]),
+                jnp.asarray(txt["token_type_ids"]), jnp.asarray(txt["word_assignment"]),
+                method=type(gloria).text_encoder_forward)
+            cache[name] = {"txt_l": txt_l, "txt_g": txt_g,
+                           "cap_lens": jnp.asarray(txt["cap_lens"])}
+        self._classes = cache
+
+    @property
+    def class_names(self) -> list[str]:
+        return list(self._classes.keys())
+
+    # -- device programs -----------------------------------------------------
+    def encode_images(self, imgs: np.ndarray):
+        """[B, H, W, 3] float32 → (img_emb_l [B, R, D], img_emb_g [B, D]),
+        padded to the bucket on device and stripped on return."""
+        import jax.numpy as jnp
+
+        n = imgs.shape[0]
+        if n > self.max_batch:
+            parts = [self.encode_images(imgs[i : i + self.max_batch])
+                     for i in range(0, n, self.max_batch)]
+            return (jnp.concatenate([p[0] for p in parts]),
+                    jnp.concatenate([p[1] for p in parts]))
+        bucket = _next_bucket(n, self.max_batch)
+        if bucket != n:
+            imgs = np.concatenate(
+                [imgs, np.zeros((bucket - n,) + imgs.shape[1:], imgs.dtype)])
+        emb_l, emb_g = self._img_fwd(self.model.variables, jnp.asarray(imgs))
+        return emb_l[:n], emb_g[:n]
+
+    def warmup(self, imsize: int | None = None) -> None:
+        """Compile every bucket ahead of traffic."""
+        if imsize is None:
+            data = self.model.cfg.data
+            imsize = int(data.image.imsize or 256) if data and data.image else 256
+            crop = (self.model.cfg.transforms.random_crop.crop_size
+                    if self.model.cfg.transforms and self.model.cfg.transforms.random_crop
+                    else None)
+            imsize = int(crop or imsize)
+        b = 1
+        while b <= self.max_batch:
+            self.encode_images(np.zeros((b, imsize, imsize, 3), np.float32))
+            b *= 2
+
+    # -- scoring -------------------------------------------------------------
+    def classify(self, imgs: np.ndarray, z_normalize: bool = False) -> np.ndarray:
+        """[B, H, W, 3] processed images → [B, C] class scores
+        (max-over-prompts mean(local, global) similarity, reference
+        ``zero_shot_classification`` semantics; z-norm across the batch is
+        opt-in — it is degenerate for single-image requests)."""
+        if not self._classes:
+            raise RuntimeError("no classes set — call set_classes() first")
+        img_l, img_g = self.encode_images(imgs)
+        cols = []
+        for name, c in self._classes.items():
+            local = self.model.get_local_similarities(img_l, c["txt_l"], c["cap_lens"])
+            glob = self.model.get_global_similarities(img_g, c["txt_g"])
+            cols.append(((local + glob) / 2).max(axis=1))
+        arr = np.stack(cols, axis=1)
+        if z_normalize and arr.shape[0] > 1:
+            arr = (arr - arr.mean(axis=0)) / arr.std(axis=0)
+        return arr
+
+    def classify_paths(self, paths: Sequence[str], **kw) -> np.ndarray:
+        return self.classify(np.asarray(self.model.process_img(list(paths))), **kw)
+
+
+class DynamicBatcher:
+    """Coalesces concurrent single/short requests into bucket-sized device
+    batches; callers receive Futures of their per-image score rows."""
+
+    def __init__(self, engine: InferenceEngine, max_wait_ms: float = 5.0):
+        self.engine = engine
+        self.max_wait = max_wait_ms / 1000.0
+        self._q: queue.Queue = queue.Queue()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def submit(self, imgs: np.ndarray) -> Future:
+        """imgs [N, H, W, 3] → Future resolving to [N, C] scores."""
+        fut: Future = Future()
+        self._q.put((np.asarray(imgs), fut))
+        return fut
+
+    def close(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=5)
+
+    def _worker(self) -> None:
+        while not self._stop.is_set():
+            try:
+                first = self._q.get(timeout=0.05)
+            except queue.Empty:
+                continue
+            batch = [first]
+            total = first[0].shape[0]
+            deadline = threading.Event()
+            # coalesce until the bucket is full or max_wait elapses
+            t = threading.Timer(self.max_wait, deadline.set)
+            t.start()
+            while total < self.engine.max_batch and not deadline.is_set():
+                try:
+                    item = self._q.get(timeout=self.max_wait / 4)
+                    batch.append(item)
+                    total += item[0].shape[0]
+                except queue.Empty:
+                    if deadline.is_set():
+                        break
+            t.cancel()
+            imgs = np.concatenate([b[0] for b in batch])
+            try:
+                scores = self.engine.classify(imgs)
+                off = 0
+                for arr, fut in batch:
+                    fut.set_result(scores[off : off + arr.shape[0]])
+                    off += arr.shape[0]
+            except Exception as e:  # pragma: no cover - propagate to callers
+                for _, fut in batch:
+                    if not fut.done():
+                        fut.set_exception(e)
+
+
+# -- stdlib HTTP front end ----------------------------------------------------
+
+def serve_http(engine: InferenceEngine, host: str = "127.0.0.1", port: int = 8000,
+               batcher: DynamicBatcher | None = None):
+    """ThreadingHTTPServer with POST /classify and GET /healthz.  Returns the
+    (started) server; call ``.shutdown()`` to stop.  Request JSON:
+    ``{"paths": [...]}`` (host-readable files) or
+    ``{"arrays_b64": "<base64 .npy of [N, H, W] uint8>"}``."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    bat = batcher
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _json(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {"ok": True, "classes": engine.class_names})
+            else:
+                self._json(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/classify":
+                return self._json(404, {"error": "unknown path"})
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                if "paths" in req:
+                    imgs = np.asarray(engine.model.process_img(list(req["paths"])))
+                elif "arrays_b64" in req:
+                    raw = np.load(io.BytesIO(base64.b64decode(req["arrays_b64"])),
+                                  allow_pickle=False)
+                    imgs = np.asarray(engine.model.process_img(list(raw)))
+                else:
+                    return self._json(400, {"error": "need 'paths' or 'arrays_b64'"})
+                if bat is not None:
+                    scores = bat.submit(imgs).result(timeout=60)
+                else:
+                    scores = engine.classify(imgs)
+                self._json(200, {"classes": engine.class_names,
+                                 "scores": np.asarray(scores).tolist()})
+            except Exception as e:
+                self._json(500, {"error": f"{type(e).__name__}: {e}"})
+
+    server = ThreadingHTTPServer((host, port), Handler)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    return server
+
+
+def main(argv=None) -> int:
+    import argparse
+
+    from .api import load_gloria
+
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--ckpt", required=True, help="torch .ckpt or orbax dir")
+    ap.add_argument("--classes-json", default=None,
+                    help="JSON file {class: [prompts]}; default: CheXpert grammar")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--max-batch", type=int, default=64)
+    ap.add_argument("--max-wait-ms", type=float, default=5.0)
+    ap.add_argument("--no-warmup", action="store_true")
+    args = ap.parse_args(argv)
+
+    model = load_gloria(args.ckpt)
+    if args.classes_json:
+        with open(args.classes_json) as fh:
+            classes = json.load(fh)
+    else:
+        classes = generate_chexpert_class_prompts()
+    engine = InferenceEngine(model, classes, max_batch=args.max_batch)
+    if not args.no_warmup:
+        engine.warmup()
+    batcher = DynamicBatcher(engine, max_wait_ms=args.max_wait_ms)
+    server = serve_http(engine, args.host, args.port, batcher=batcher)
+    print(f"serving on http://{args.host}:{args.port} "
+          f"(classes: {', '.join(engine.class_names)})", flush=True)
+    try:
+        threading.Event().wait()
+    except KeyboardInterrupt:
+        server.shutdown()
+        batcher.close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

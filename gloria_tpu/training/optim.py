@@ -33,10 +33,22 @@ from ..configs import Config
 
 def make_optimizer(cfg: Config, grad_clip: float | None = None) -> optax.GradientTransformation:
     """cfg.train.optimizer → injectable-LR optax chain. Update the LR via
-    ``set_learning_rate`` on the optimizer state."""
+    ``set_learning_rate`` on the optimizer state.
+
+    The whole chain is wrapped in ``optax.apply_if_finite``: a step whose
+    gradients contain inf/NaN is *skipped* (params and moments untouched)
+    instead of poisoning the parameters.  This is the reference's training
+    semantics — its fp16 AMP ``GradScaler`` skips the optimizer step on
+    non-finite gradients (Lightning ``precision: 16``) — and it matters in
+    bf16: transient gradient spikes on marginally-stable configs (e.g. the
+    B=96 synthetic bench) otherwise NaN the whole run.  Disable with
+    ``cfg.train.skip_nonfinite_grads: false``."""
     opt_cfg = cfg.train.optimizer or Config()
     name = (opt_cfg.name or "Adam").lower()
     wd = float(opt_cfg.weight_decay or 0.0)
+    skip_nonfinite = (cfg.train.skip_nonfinite_grads
+                      if cfg.train and cfg.train.skip_nonfinite_grads is not None
+                      else True)
 
     def build(learning_rate):
         txs = []
@@ -59,7 +71,12 @@ def make_optimizer(cfg: Config, grad_clip: float | None = None) -> optax.Gradien
         else:
             raise ValueError(f"unknown optimizer: {opt_cfg.name}")
         txs.append(optax.scale_by_learning_rate(learning_rate))
-        return optax.chain(*txs)
+        chain = optax.chain(*txs)
+        if skip_nonfinite:
+            # 100 consecutive bad steps ⇒ the run is genuinely broken; stop
+            # masking and surface the error (GradScaler would spin forever)
+            chain = optax.apply_if_finite(chain, max_consecutive_errors=100)
+        return chain
 
     lr = float(cfg.lightning.trainer.lr if cfg.lightning and cfg.lightning.trainer and cfg.lightning.trainer.lr else (cfg.train.lr or 1e-4))
     return optax.inject_hyperparams(build)(learning_rate=lr)

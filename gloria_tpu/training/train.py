@@ -123,6 +123,9 @@ def make_pretrain_steps(
         new_params = optax.apply_updates(state.params, updates)
         metrics = dict(metrics)
         metrics["grad_norm"] = optax.global_norm(grads)
+        total_notfinite = optax.tree_utils.tree_get(new_opt, "total_notfinite")
+        if total_notfinite is not None:  # apply_if_finite guard active
+            metrics["nonfinite_steps"] = total_notfinite
         new_state = state.replace(
             step=state.step + 1, params=new_params,
             batch_stats=new_stats, opt_state=new_opt,

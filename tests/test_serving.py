@@ -1,0 +1,144 @@
+"""Serving path: bucketed encode, cached-class classify, batcher, HTTP."""
+
+import json
+import urllib.request
+from concurrent.futures import wait
+
+import numpy as np
+import pytest
+
+import jax
+
+from gloria_tpu import api
+from gloria_tpu.configs import Config
+from gloria_tpu.data.pretraining_dataset import SyntheticPretrainingDataset
+from gloria_tpu.data.tokenizer import WordPieceTokenizer
+from gloria_tpu.models import GLoRIA
+from gloria_tpu.serving import DynamicBatcher, InferenceEngine, _next_bucket, serve_http
+
+
+def tiny_model_cfg():
+    return Config({
+        "model": {
+            "gloria": {"temp1": 4.0, "temp2": 5.0, "temp3": 10.0,
+                        "local_loss_weight": 1.0, "global_loss_weight": 1.0},
+            "vision": {"model_name": "resnet_18"},
+            "text": {"embedding_dim": 32, "last_n_layers": 4, "agg_tokens": True,
+                      "aggregate_method": "sum",
+                      "bert_config": {"vocab_size": 256, "hidden_size": 32, "num_layers": 2,
+                                       "num_heads": 4, "intermediate_size": 64,
+                                       "max_position_embeddings": 48}},
+        },
+        "data": {"image": {"imsize": 64}, "text": {"word_num": 24}},
+        "transforms": {"norm": "half", "random_crop": {"crop_size": 48}},
+    })
+
+
+CLASSES = {
+    "edema": ["mild edema at the left lung base", "edema in the lung"],
+    "no finding": ["no finding"],
+}
+
+
+@pytest.fixture(scope="module")
+def engine():
+    cfg = tiny_model_cfg()
+    ds = SyntheticPretrainingDataset(size=16, imsize=64)
+    tok = WordPieceTokenizer.from_corpus(ds.corpus() + ["atelectasis cardiomegaly edema effusion"])
+    model = GLoRIA(cfg)
+    txt = api.TextProcessor(tok, num_words=24)(["mild edema at the left lung base"])
+    batch = {
+        "imgs": np.random.RandomState(0).randn(1, 64, 64, 3).astype(np.float32),
+        "caption_ids": txt["caption_ids"],
+        "attention_mask": txt["attention_mask"],
+        "token_type_ids": txt["token_type_ids"],
+        "word_assignment": txt["word_assignment"],
+    }
+    variables = model.init(jax.random.PRNGKey(0), {k: np.asarray(v) for k, v in batch.items()})
+    gm = api.GloriaModel(cfg, variables, tokenizer=tok)
+    return InferenceEngine(gm, CLASSES, max_batch=8)
+
+
+def _imgs(n, seed=3):
+    return np.asarray(
+        [np.random.RandomState(seed + i).randn(48, 48, 3).astype(np.float32) for i in range(n)])
+
+
+def test_next_bucket():
+    assert [_next_bucket(n, 8) for n in (1, 2, 3, 5, 8, 9)] == [1, 2, 4, 8, 8, 8]
+
+
+def test_bucket_padding_does_not_contaminate(engine):
+    """Padded rows must not change real rows (BN eval mode, per-sample ops)."""
+    imgs = _imgs(3)  # bucket pads to 4
+    l3, g3 = engine.encode_images(imgs)
+    l1, g1 = engine.encode_images(imgs[:1])  # bucket 1, no padding
+    np.testing.assert_allclose(np.asarray(l3[0]), np.asarray(l1[0]), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(g3[0]), np.asarray(g1[0]), rtol=2e-4, atol=2e-4)
+
+
+def test_classify_matches_api_zero_shot(engine):
+    """Cached-class scoring ≡ the api's per-class re-encoding path."""
+    imgs = _imgs(4)
+    scores = engine.classify(imgs)
+    assert scores.shape == (4, 2)
+    gm = engine.model
+    expect = []
+    for name, prompts in CLASSES.items():
+        txt = gm.process_text(list(prompts))
+        sims = gm.get_similarities(np.asarray(imgs), txt, similarity_type="both")
+        expect.append(sims.max(axis=1))
+    expect = np.stack(expect, axis=1)
+    np.testing.assert_allclose(scores, expect, rtol=2e-4, atol=2e-4)
+    # z-norm matches the reference normalization
+    zn = engine.classify(imgs, z_normalize=True)
+    np.testing.assert_allclose(
+        zn, (expect - expect.mean(0)) / expect.std(0), rtol=2e-3, atol=2e-3)
+
+
+def test_oversized_batch_splits(engine):
+    imgs = _imgs(10)  # max_batch=8 → 8 + 2
+    scores = engine.classify(imgs)
+    assert scores.shape == (10, 2)
+    np.testing.assert_allclose(scores[:4], engine.classify(imgs[:4]), rtol=2e-4, atol=2e-4)
+
+
+def test_dynamic_batcher_coalesces_and_matches(engine):
+    bat = DynamicBatcher(engine, max_wait_ms=20)
+    try:
+        futs = [bat.submit(_imgs(1, seed=40 + i)) for i in range(5)]
+        done, not_done = wait(futs, timeout=60)
+        assert not not_done
+        for i, f in enumerate(futs):
+            direct = engine.classify(_imgs(1, seed=40 + i))
+            np.testing.assert_allclose(f.result(), direct, rtol=2e-4, atol=2e-4)
+    finally:
+        bat.close()
+
+
+def test_http_server_classify(engine, tmp_path):
+    import cv2
+
+    paths = []
+    for i in range(2):
+        p = str(tmp_path / f"im{i}.png")
+        cv2.imwrite(p, (np.random.RandomState(50 + i).rand(70, 60) * 255).astype(np.uint8))
+        paths.append(p)
+    server = serve_http(engine, host="127.0.0.1", port=0)
+    try:
+        port = server.server_address[1]
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz", timeout=30) as r:
+            health = json.loads(r.read())
+        assert health["ok"] and set(health["classes"]) == set(CLASSES)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/classify",
+            data=json.dumps({"paths": paths}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=60) as r:
+            out = json.loads(r.read())
+        scores = np.asarray(out["scores"])
+        assert scores.shape == (2, 2)
+        expect = engine.classify_paths(paths)
+        np.testing.assert_allclose(scores, expect, rtol=2e-4, atol=2e-4)
+    finally:
+        server.shutdown()

@@ -117,3 +117,39 @@ def test_segmentation_task_trains():
     ev = task.eval_step(state, batch)
     m = task.epoch_metrics(np.asarray(ev["logits"]), masks)
     assert 0 <= m["dice"] <= 1
+
+
+def test_nonfinite_grads_skip_step_and_lr_still_settable():
+    """apply_if_finite wrapper: a NaN-grad step must leave params untouched
+    (the reference's fp16 GradScaler skip semantics) and the injected LR
+    must stay reachable through the wrapper state."""
+    import optax
+
+    cfg = task_cfg()
+    tx = optim.make_optimizer(cfg, grad_clip=1.0)
+    params = {"w": jnp.ones((4, 4)), "b": jnp.zeros((4,))}
+    state = tx.init(params)
+
+    good = {"w": jnp.full((4, 4), 0.1), "b": jnp.full((4,), 0.1)}
+    bad = {"w": jnp.full((4, 4), jnp.nan), "b": jnp.full((4,), 0.1)}
+
+    up, state = tx.update(bad, state, params)
+    p_after_bad = optax.apply_updates(params, up)
+    np.testing.assert_array_equal(np.asarray(p_after_bad["w"]), np.asarray(params["w"]))
+    assert int(optax.tree_utils.tree_get(state, "total_notfinite")) == 1
+
+    up, state = tx.update(good, state, params)
+    p_after_good = optax.apply_updates(params, up)
+    assert float(np.abs(np.asarray(p_after_good["w"]) - np.asarray(params["w"])).max()) > 0
+    assert np.isfinite(np.asarray(jax.tree_util.tree_leaves(p_after_good)[0])).all()
+
+    state = optim.set_learning_rate(state, 5e-4)
+    assert optim.get_learning_rate(state) == pytest.approx(5e-4)
+
+    # disabled guard: NaN grads propagate (old behavior, explicit opt-out)
+    cfg2 = task_cfg()
+    cfg2.set_path("train.skip_nonfinite_grads", False)
+    tx2 = optim.make_optimizer(cfg2, grad_clip=1.0)
+    s2 = tx2.init(params)
+    up2, _ = tx2.update(bad, s2, params)
+    assert not np.isfinite(np.asarray(optax.apply_updates(params, up2)["w"])).all()
