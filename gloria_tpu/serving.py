@@ -53,13 +53,33 @@ class InferenceEngine:
     def __init__(self, model: GloriaModel, classes: dict | None = None,
                  max_batch: int = 64):
         import jax
+        import jax.numpy as jnp
+
+        from .data.transforms import IMAGENET_MEAN, IMAGENET_STD
 
         self.model = model
         self.max_batch = max_batch
         self._jax = jax
         gloria = model.model
 
+        t = model.cfg.transforms or None
+        norm_mode = t.norm if t else None
+        if norm_mode == "imagenet":
+            mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+            std = jnp.asarray(IMAGENET_STD, jnp.float32)
+        elif norm_mode == "half":
+            mean = jnp.asarray(0.5, jnp.float32)
+            std = jnp.asarray(0.5, jnp.float32)
+        else:
+            mean = jnp.asarray(0.0, jnp.float32)
+            std = jnp.asarray(1.0, jnp.float32)
+
         def img_fwd(variables, imgs):
+            if imgs.dtype == jnp.uint8:
+                # device-side ToTensor+Normalize: clients ship uint8 (4× less
+                # host→device traffic — the dominant serving cost over
+                # PCIe/tunnel links; the device does the cheap arithmetic)
+                imgs = (imgs.astype(jnp.float32) / 255.0 - mean) / std
             emb_l, emb_g, _ = gloria.apply(
                 variables, imgs, train=False,
                 method=type(gloria).image_encoder_forward)
@@ -72,13 +92,19 @@ class InferenceEngine:
 
     # -- class prompt cache --------------------------------------------------
     def set_classes(self, cls_txt_mapping: dict) -> None:
-        """Tokenize + encode each class's prompts once; per-request work is
-        then the image tower + similarity kernels only."""
+        """Tokenize + encode each class's prompts once and build ONE jitted
+        scoring program over the stacked prompt set; per-request work is then
+        the image tower + a single device program for all classes."""
+        import jax
         import jax.numpy as jnp
+
+        from .configs import Config
+        from .ops import gloria_loss
 
         gloria = self.model.model
         cache = {}
-        for name, prompts in cls_txt_mapping.items():
+        stacked_l, stacked_g, stacked_caps, class_ids = [], [], [], []
+        for ci, (name, prompts) in enumerate(cls_txt_mapping.items()):
             txt = self.model.process_text(list(prompts))
             txt_l, txt_g = gloria.apply(
                 self.model.variables,
@@ -87,7 +113,37 @@ class InferenceEngine:
                 method=type(gloria).text_encoder_forward)
             cache[name] = {"txt_l": txt_l, "txt_g": txt_g,
                            "cap_lens": jnp.asarray(txt["cap_lens"])}
+            stacked_l.append(txt_l)
+            stacked_g.append(txt_g)
+            stacked_caps.append(np.asarray(txt["cap_lens"]))
+            class_ids.extend([ci] * txt_l.shape[0])
         self._classes = cache
+        self._txt_l = jnp.concatenate(stacked_l)
+        self._txt_g = jnp.concatenate(stacked_g)
+        self._caps = jnp.asarray(np.concatenate(stacked_caps))
+        n_classes = len(cls_txt_mapping)
+        # [P_total, C] one-hot; per-class max becomes a masked reduce (static
+        # shapes — XLA-friendly, no gather loops)
+        onehot = np.zeros((len(class_ids), n_classes), np.float32)
+        onehot[np.arange(len(class_ids)), class_ids] = 1.0
+        self._class_onehot = jnp.asarray(onehot)
+
+        g = (self.model.cfg.model.gloria if self.model.cfg.model else None) or Config()
+        use_fused = (gloria_loss.fused_eval_default() if g.fused_kernel is None
+                     else bool(g.fused_kernel))
+        sink_name = "no_attn_vec"
+
+        def score(variables, img_l, img_g, txt_l, txt_g, caps, onehot):
+            local = gloria_loss.local_similarities_eval(
+                img_l, txt_l, caps, temp1=4.0, temp2=5.0,
+                sink=variables["params"].get(sink_name), use_fused=use_fused)
+            glob = gloria_loss.global_similarities(img_g, txt_g)
+            sims = (local + glob) / 2.0  # [B, P_total]
+            # max over each class's prompts: mask out other classes with -inf
+            masked = sims[:, :, None] + jnp.where(onehot[None] > 0, 0.0, -jnp.inf)
+            return jnp.max(masked, axis=1)  # [B, C]
+
+        self._score = jax.jit(score)
 
     @property
     def class_names(self) -> list[str]:
@@ -123,7 +179,11 @@ class InferenceEngine:
             imsize = int(crop or imsize)
         b = 1
         while b <= self.max_batch:
-            self.encode_images(np.zeros((b, imsize, imsize, 3), np.float32))
+            x = np.zeros((b, imsize, imsize, 3), np.uint8)  # primary (u8) path
+            if self._classes:
+                self.classify(x)  # warms the image tower AND the scorer
+            else:
+                self.encode_images(x)
             b *= 2
 
     # -- scoring -------------------------------------------------------------
@@ -131,22 +191,58 @@ class InferenceEngine:
         """[B, H, W, 3] processed images → [B, C] class scores
         (max-over-prompts mean(local, global) similarity, reference
         ``zero_shot_classification`` semantics; z-norm across the batch is
-        opt-in — it is degenerate for single-image requests)."""
+        opt-in — it is degenerate for single-image requests).
+
+        Both the image tower and the scoring program run on the padded
+        bucket so each bucket size compiles exactly once."""
+        import jax.numpy as jnp
+
         if not self._classes:
             raise RuntimeError("no classes set — call set_classes() first")
-        img_l, img_g = self.encode_images(imgs)
-        cols = []
-        for name, c in self._classes.items():
-            local = self.model.get_local_similarities(img_l, c["txt_l"], c["cap_lens"])
-            glob = self.model.get_global_similarities(img_g, c["txt_g"])
-            cols.append(((local + glob) / 2).max(axis=1))
-        arr = np.stack(cols, axis=1)
+        n = imgs.shape[0]
+        if n > self.max_batch:
+            arr = np.concatenate(
+                [self.classify(imgs[i : i + self.max_batch])
+                 for i in range(0, n, self.max_batch)])
+        else:
+            bucket = _next_bucket(n, self.max_batch)
+            if bucket != n:
+                imgs = np.concatenate(
+                    [imgs, np.zeros((bucket - n,) + imgs.shape[1:], imgs.dtype)])
+            img_l, img_g = self._img_fwd(self.model.variables, jnp.asarray(imgs))
+            arr = np.asarray(self._score(
+                self.model.variables, img_l, img_g,
+                self._txt_l, self._txt_g, self._caps, self._class_onehot))[:n]
         if z_normalize and arr.shape[0] > 1:
             arr = (arr - arr.mean(axis=0)) / arr.std(axis=0)
         return arr
 
+    def process_img_uint8(self, paths_or_arrays) -> np.ndarray:
+        """Host letterbox + crop, kept uint8 — ToTensor+Normalize happens on
+        device (`img_fwd`), so the host→device transfer is 4× smaller than
+        the f32 `api.process_img` pipeline.  Numerically identical: the
+        device applies the same (x/255 − mean)/σ in f32."""
+        import cv2
+
+        from .data.transforms import center_crop, letterbox_resize, to_rgb
+
+        cfg = self.model.cfg
+        imsize = int(cfg.data.image.imsize or 256) if cfg.data and cfg.data.image else 256
+        crop = (int(cfg.transforms.random_crop.crop_size)
+                if cfg.transforms and cfg.transforms.random_crop else None)
+        if isinstance(paths_or_arrays, (str, np.ndarray)):
+            paths_or_arrays = [paths_or_arrays]
+        out = []
+        for p in paths_or_arrays:
+            x = cv2.imread(str(p), 0) if isinstance(p, str) else np.asarray(p)
+            x = to_rgb(letterbox_resize(x, imsize))
+            if crop and crop != imsize:
+                x = center_crop(x, crop)
+            out.append(x)
+        return np.stack(out).astype(np.uint8)
+
     def classify_paths(self, paths: Sequence[str], **kw) -> np.ndarray:
-        return self.classify(np.asarray(self.model.process_img(list(paths))), **kw)
+        return self.classify(self.process_img_uint8(list(paths)), **kw)
 
 
 class DynamicBatcher:
@@ -242,11 +338,11 @@ def serve_http(engine: InferenceEngine, host: str = "127.0.0.1", port: int = 800
                 length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length) or b"{}")
                 if "paths" in req:
-                    imgs = np.asarray(engine.model.process_img(list(req["paths"])))
+                    imgs = engine.process_img_uint8(list(req["paths"]))
                 elif "arrays_b64" in req:
                     raw = np.load(io.BytesIO(base64.b64decode(req["arrays_b64"])),
                                   allow_pickle=False)
-                    imgs = np.asarray(engine.model.process_img(list(raw)))
+                    imgs = engine.process_img_uint8(list(raw))
                 else:
                     return self._json(400, {"error": "need 'paths' or 'arrays_b64'"})
                 if bat is not None:

@@ -96,6 +96,19 @@ def test_classify_matches_api_zero_shot(engine):
         zn, (expect - expect.mean(0)) / expect.std(0), rtol=2e-3, atol=2e-3)
 
 
+def test_uint8_device_normalize_matches_host_pipeline(engine):
+    """uint8-input path (device-side ToTensor+Normalize, 4× less H2D) must
+    score identically to the host-normalized f32 api pipeline."""
+    raws = [(np.random.RandomState(60 + i).rand(80, 66) * 255).astype(np.uint8)
+            for i in range(3)]
+    u8 = engine.process_img_uint8(raws)
+    assert u8.dtype == np.uint8 and u8.shape == (3, 48, 48, 3)
+    f32 = np.asarray(engine.model.process_img(raws))
+    s_u8 = engine.classify(u8)
+    s_f32 = engine.classify(f32)
+    np.testing.assert_allclose(s_u8, s_f32, rtol=2e-4, atol=2e-4)
+
+
 def test_oversized_batch_splits(engine):
     imgs = _imgs(10)  # max_batch=8 → 8 + 2
     scores = engine.classify(imgs)

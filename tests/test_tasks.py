@@ -120,9 +120,9 @@ def test_segmentation_task_trains():
 
 
 def test_nonfinite_grads_skip_step_and_lr_still_settable():
-    """apply_if_finite wrapper: a NaN-grad step must leave params untouched
-    (the reference's fp16 GradScaler skip semantics) and the injected LR
-    must stay reachable through the wrapper state."""
+    """skip_nonfinite_updates wrapper: a NaN-grad step must leave params
+    untouched (the reference's fp16 GradScaler skip semantics) and the
+    injected LR must stay reachable through the wrapper state."""
     import optax
 
     cfg = task_cfg()
