@@ -33,6 +33,7 @@ import json
 import queue
 import threading
 from concurrent.futures import Future
+from pathlib import Path
 from typing import Sequence
 
 import numpy as np
@@ -86,7 +87,7 @@ class InferenceEngine:
             return emb_l, emb_g
 
         self._img_fwd = jax.jit(img_fwd)
-        self._classes: dict[str, dict] = {}
+        self._class_names: list[str] = []
         if classes is not None:
             self.set_classes(classes)
 
@@ -102,7 +103,6 @@ class InferenceEngine:
         from .ops import gloria_loss
 
         gloria = self.model.model
-        cache = {}
         stacked_l, stacked_g, stacked_caps, class_ids = [], [], [], []
         for ci, (name, prompts) in enumerate(cls_txt_mapping.items()):
             txt = self.model.process_text(list(prompts))
@@ -111,13 +111,11 @@ class InferenceEngine:
                 jnp.asarray(txt["caption_ids"]), jnp.asarray(txt["attention_mask"]),
                 jnp.asarray(txt["token_type_ids"]), jnp.asarray(txt["word_assignment"]),
                 method=type(gloria).text_encoder_forward)
-            cache[name] = {"txt_l": txt_l, "txt_g": txt_g,
-                           "cap_lens": jnp.asarray(txt["cap_lens"])}
             stacked_l.append(txt_l)
             stacked_g.append(txt_g)
             stacked_caps.append(np.asarray(txt["cap_lens"]))
             class_ids.extend([ci] * txt_l.shape[0])
-        self._classes = cache
+        self._class_names = list(cls_txt_mapping.keys())
         self._txt_l = jnp.concatenate(stacked_l)
         self._txt_g = jnp.concatenate(stacked_g)
         self._caps = jnp.asarray(np.concatenate(stacked_caps))
@@ -147,7 +145,7 @@ class InferenceEngine:
 
     @property
     def class_names(self) -> list[str]:
-        return list(self._classes.keys())
+        return list(self._class_names)
 
     # -- device programs -----------------------------------------------------
     def encode_images(self, imgs: np.ndarray):
@@ -177,14 +175,18 @@ class InferenceEngine:
                     if self.model.cfg.transforms and self.model.cfg.transforms.random_crop
                     else None)
             imsize = int(crop or imsize)
+        sizes = []
         b = 1
-        while b <= self.max_batch:
+        while b < self.max_batch:
+            sizes.append(b)
+            b *= 2
+        sizes.append(self.max_batch)  # the cap is a bucket even if not pow2
+        for b in sizes:
             x = np.zeros((b, imsize, imsize, 3), np.uint8)  # primary (u8) path
-            if self._classes:
+            if self._class_names:
                 self.classify(x)  # warms the image tower AND the scorer
             else:
                 self.encode_images(x)
-            b *= 2
 
     # -- scoring -------------------------------------------------------------
     def classify(self, imgs: np.ndarray, z_normalize: bool = False) -> np.ndarray:
@@ -197,7 +199,7 @@ class InferenceEngine:
         bucket so each bucket size compiles exactly once."""
         import jax.numpy as jnp
 
-        if not self._classes:
+        if not self._class_names:
             raise RuntimeError("no classes set — call set_classes() first")
         n = imgs.shape[0]
         if n > self.max_batch:
@@ -230,11 +232,11 @@ class InferenceEngine:
         imsize = int(cfg.data.image.imsize or 256) if cfg.data and cfg.data.image else 256
         crop = (int(cfg.transforms.random_crop.crop_size)
                 if cfg.transforms and cfg.transforms.random_crop else None)
-        if isinstance(paths_or_arrays, (str, np.ndarray)):
+        if isinstance(paths_or_arrays, (str, Path, np.ndarray)):
             paths_or_arrays = [paths_or_arrays]
         out = []
         for p in paths_or_arrays:
-            x = cv2.imread(str(p), 0) if isinstance(p, str) else np.asarray(p)
+            x = cv2.imread(str(p), 0) if isinstance(p, (str, Path)) else np.asarray(p)
             x = to_rgb(letterbox_resize(x, imsize))
             if crop and crop != imsize:
                 x = center_crop(x, crop)
@@ -259,6 +261,8 @@ class DynamicBatcher:
 
     def submit(self, imgs: np.ndarray) -> Future:
         """imgs [N, H, W, 3] → Future resolving to [N, C] scores."""
+        if self._stop.is_set():
+            raise RuntimeError("DynamicBatcher is closed")
         fut: Future = Future()
         self._q.put((np.asarray(imgs), fut))
         return fut
@@ -266,6 +270,14 @@ class DynamicBatcher:
     def close(self) -> None:
         self._stop.set()
         self._thread.join(timeout=5)
+        # fail any requests still queued rather than stranding their callers
+        while True:
+            try:
+                _, fut = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if not fut.done():
+                fut.set_exception(RuntimeError("DynamicBatcher closed"))
 
     def _worker(self) -> None:
         while not self._stop.is_set():
@@ -274,28 +286,34 @@ class DynamicBatcher:
             except queue.Empty:
                 continue
             batch = [first]
+            # only coalesce compatible requests: one device program needs one
+            # dtype and one per-image shape (mixing would also silently
+            # promote uint8 → f32 and skip the device-side normalization)
+            key = (first[0].shape[1:], first[0].dtype)
             total = first[0].shape[0]
             deadline = threading.Event()
-            # coalesce until the bucket is full or max_wait elapses
             t = threading.Timer(self.max_wait, deadline.set)
             t.start()
             while total < self.engine.max_batch and not deadline.is_set():
                 try:
                     item = self._q.get(timeout=self.max_wait / 4)
+                except queue.Empty:
+                    continue
+                if (item[0].shape[1:], item[0].dtype) == key:
                     batch.append(item)
                     total += item[0].shape[0]
-                except queue.Empty:
-                    if deadline.is_set():
-                        break
+                else:
+                    self._q.put(item)  # different program — next round
+                    break
             t.cancel()
-            imgs = np.concatenate([b[0] for b in batch])
             try:
+                imgs = np.concatenate([b[0] for b in batch])
                 scores = self.engine.classify(imgs)
                 off = 0
                 for arr, fut in batch:
                     fut.set_result(scores[off : off + arr.shape[0]])
                     off += arr.shape[0]
-            except Exception as e:  # pragma: no cover - propagate to callers
+            except Exception as e:  # propagate to callers, keep the worker alive
                 for _, fut in batch:
                     if not fut.done():
                         fut.set_exception(e)
@@ -304,14 +322,22 @@ class DynamicBatcher:
 # -- stdlib HTTP front end ----------------------------------------------------
 
 def serve_http(engine: InferenceEngine, host: str = "127.0.0.1", port: int = 8000,
-               batcher: DynamicBatcher | None = None):
+               batcher: DynamicBatcher | None = None,
+               paths_root: str | None = None):
     """ThreadingHTTPServer with POST /classify and GET /healthz.  Returns the
     (started) server; call ``.shutdown()`` to stop.  Request JSON:
     ``{"paths": [...]}`` (host-readable files) or
-    ``{"arrays_b64": "<base64 .npy of [N, H, W] uint8>"}``."""
+    ``{"arrays_b64": "<base64 .npy of [N, H, W] uint8>"}``.
+
+    ``paths`` requests read files as the server process — an arbitrary-path
+    read primitive if exposed beyond trusted callers.  When ``paths_root``
+    is set every path must resolve under it (403 otherwise); when unset,
+    ``paths`` is accepted only from loopback clients and remote callers must
+    send pixel data via ``arrays_b64``."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     bat = batcher
+    root = str(Path(paths_root).resolve()) if paths_root else None
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
@@ -338,7 +364,18 @@ def serve_http(engine: InferenceEngine, host: str = "127.0.0.1", port: int = 800
                 length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length) or b"{}")
                 if "paths" in req:
-                    imgs = engine.process_img_uint8(list(req["paths"]))
+                    paths = [str(p) for p in req["paths"]]
+                    if root is not None:
+                        resolved = [str(Path(p).resolve()) for p in paths]
+                        if not all(r == root or r.startswith(root + "/")
+                                   for r in resolved):
+                            return self._json(403, {"error": "path outside --paths-root"})
+                        paths = resolved
+                    elif self.client_address[0] not in ("127.0.0.1", "::1"):
+                        return self._json(
+                            403, {"error": "'paths' is loopback-only without "
+                                           "paths_root; send 'arrays_b64'"})
+                    imgs = engine.process_img_uint8(paths)
                 elif "arrays_b64" in req:
                     raw = np.load(io.BytesIO(base64.b64decode(req["arrays_b64"])),
                                   allow_pickle=False)
@@ -373,6 +410,9 @@ def main(argv=None) -> int:
     ap.add_argument("--max-batch", type=int, default=64)
     ap.add_argument("--max-wait-ms", type=float, default=5.0)
     ap.add_argument("--no-warmup", action="store_true")
+    ap.add_argument("--paths-root", default=None,
+                    help="restrict 'paths' requests to files under this dir "
+                         "(without it, 'paths' is loopback-only)")
     args = ap.parse_args(argv)
 
     model = load_gloria(args.ckpt)
@@ -385,7 +425,8 @@ def main(argv=None) -> int:
     if not args.no_warmup:
         engine.warmup()
     batcher = DynamicBatcher(engine, max_wait_ms=args.max_wait_ms)
-    server = serve_http(engine, args.host, args.port, batcher=batcher)
+    server = serve_http(engine, args.host, args.port, batcher=batcher,
+                        paths_root=args.paths_root)
     print(f"serving on http://{args.host}:{args.port} "
           f"(classes: {', '.join(engine.class_names)})", flush=True)
     try:

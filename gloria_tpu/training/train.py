@@ -124,8 +124,15 @@ def make_pretrain_steps(
         metrics = dict(metrics)
         metrics["grad_norm"] = optax.global_norm(grads)
         total_notfinite = optax.tree_utils.tree_get(new_opt, "total_notfinite")
-        if total_notfinite is not None:  # apply_if_finite guard active
+        if total_notfinite is not None:  # skip-on-nonfinite guard active
             metrics["nonfinite_steps"] = total_notfinite
+            # the guard zeroes the param update, but a NaN *forward* would
+            # still have poisoned the BN running stats — keep the previous
+            # stats on skipped steps (tiny per-channel tensors, fused selects)
+            ok = jnp.isfinite(metrics["grad_norm"])
+            if new_stats is not None:
+                new_stats = jax.tree_util.tree_map(
+                    lambda n, o: jnp.where(ok, n, o), new_stats, state.batch_stats)
         new_state = state.replace(
             step=state.step + 1, params=new_params,
             batch_stats=new_stats, opt_state=new_opt,

@@ -96,6 +96,32 @@ def test_dp_tp_step_matches_single_device():
     assert worst < 5e-4, f"param divergence {worst}"
 
 
+def test_nonfinite_forward_leaves_params_and_bn_stats_untouched():
+    """A batch that NaNs the forward must not poison params OR the BatchNorm
+    running stats (the guard zeroes the update; train_step keeps old stats)."""
+    raw = make_synthetic_batch(batch_size=4, num_tokens=16, imsize=32, vocab_size=256)
+    cfg = tiny_cfg()
+    model, state, step, _ = init_gloria(cfg, raw)
+    batch = {k: jnp.asarray(v) for k, v in raw.items()}
+    bad = dict(batch)
+    bad["imgs"] = batch["imgs"].at[0, 0, 0, 0].set(jnp.inf)
+
+    p0 = jax.device_get(state.params)
+    s0 = jax.device_get(state.batch_stats)
+    new_state, m = step(state, bad)
+    assert not np.isfinite(float(m["loss"]))
+    assert int(m["nonfinite_steps"]) == 1
+    for a, b in zip(jax.tree_util.tree_leaves(p0),
+                    jax.tree_util.tree_leaves(jax.device_get(new_state.params))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(s0),
+                    jax.tree_util.tree_leaves(jax.device_get(new_state.batch_stats))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and the run recovers on the next good batch
+    new_state, m2 = step(new_state, batch)
+    assert np.isfinite(float(m2["loss"]))
+
+
 def test_threefry_dropout_impl_runs():
     """cfg train.dropout_rng=threefry (bit-reproducible across shardings)
     must produce a working, finite step."""

@@ -1,6 +1,7 @@
 """Serving path: bucketed encode, cached-class classify, batcher, HTTP."""
 
 import json
+import urllib.error
 import urllib.request
 from concurrent.futures import wait
 
@@ -127,6 +128,70 @@ def test_dynamic_batcher_coalesces_and_matches(engine):
             np.testing.assert_allclose(f.result(), direct, rtol=2e-4, atol=2e-4)
     finally:
         bat.close()
+
+
+def test_dynamic_batcher_survives_incompatible_requests(engine):
+    """Mixed shapes/dtypes must not kill the worker or mix device programs —
+    each request still resolves with its own correct scores."""
+    bat = DynamicBatcher(engine, max_wait_ms=20)
+    try:
+        a = _imgs(1, seed=70)                                   # f32 48x48
+        b = (np.random.RandomState(71).rand(1, 48, 48, 3) * 255).astype(np.uint8)
+        c = _imgs(2, seed=72)
+        futs = [bat.submit(a), bat.submit(b), bat.submit(c)]
+        done, not_done = wait(futs, timeout=120)
+        assert not not_done
+        np.testing.assert_allclose(futs[0].result(), engine.classify(a), rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(futs[1].result(), engine.classify(b), rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(futs[2].result(), engine.classify(c), rtol=2e-4, atol=2e-4)
+    finally:
+        bat.close()
+    # after close: submissions are rejected, not silently stranded
+    with pytest.raises(RuntimeError):
+        bat.submit(a)
+
+
+def test_process_img_uint8_accepts_pathlib(engine, tmp_path):
+    import cv2
+
+    p = tmp_path / "im.png"
+    cv2.imwrite(str(p), (np.random.RandomState(80).rand(60, 60) * 255).astype(np.uint8))
+    out = engine.process_img_uint8([p])  # pathlib.Path, not str
+    assert out.shape == (1, 48, 48, 3) and out.dtype == np.uint8
+
+
+def test_http_paths_root_restriction(engine, tmp_path):
+    import cv2
+
+    allowed = tmp_path / "allowed"
+    allowed.mkdir()
+    inside = str(allowed / "ok.png")
+    cv2.imwrite(inside, (np.random.RandomState(81).rand(50, 50) * 255).astype(np.uint8))
+    outside = str(tmp_path / "secret.png")
+    cv2.imwrite(outside, (np.random.RandomState(82).rand(50, 50) * 255).astype(np.uint8))
+    server = serve_http(engine, host="127.0.0.1", port=0, paths_root=str(allowed))
+    try:
+        port = server.server_address[1]
+
+        def post(paths):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/classify",
+                data=json.dumps({"paths": paths}).encode(),
+                headers={"Content-Type": "application/json"})
+            try:
+                with urllib.request.urlopen(req, timeout=60) as r:
+                    return r.status, json.loads(r.read())
+            except urllib.error.HTTPError as e:
+                return e.code, json.loads(e.read())
+
+        code, out = post([inside])
+        assert code == 200 and np.asarray(out["scores"]).shape == (1, 2)
+        code, out = post([outside])
+        assert code == 403
+        code, out = post([str(allowed / ".." / "secret.png")])  # traversal
+        assert code == 403
+    finally:
+        server.shutdown()
 
 
 def test_http_server_classify(engine, tmp_path):
