@@ -147,6 +147,30 @@ class InferenceEngine:
     def class_names(self) -> list[str]:
         return list(self._class_names)
 
+    # -- retrieval corpus ----------------------------------------------------
+    def set_corpus(self, targets: list, target_classes: list | None = None,
+                   top_k: int = 5) -> None:
+        """Embed an image→report retrieval corpus once (reference
+        ``Retriver`` semantics via :class:`models.retrieval_model.Retriever`)."""
+        from .models.retrieval_model import Retriever
+
+        self._retriever = Retriever(self.model, list(targets),
+                                    target_classes=target_classes, top_k=top_k)
+
+    def retrieve(self, images, similarity_type: str = "both") -> list[dict]:
+        """Per query image: top-k corpus reports (and classes when known)."""
+        if getattr(self, "_retriever", None) is None:
+            raise RuntimeError("no corpus set — call set_corpus() first")
+        if isinstance(images, (str, Path, np.ndarray)):
+            images = [images]
+        out = []
+        for image in images:
+            targets, classes = self._retriever.retrieve(image, similarity_type)
+            out.append({"targets": [str(t) for t in targets],
+                        "classes": None if classes is None
+                        else [c.item() if hasattr(c, "item") else c for c in classes]})
+        return out
+
     # -- device programs -----------------------------------------------------
     def encode_images(self, imgs: np.ndarray):
         """[B, H, W, 3] float32 → (img_emb_l [B, R, D], img_emb_g [B, D]),
@@ -357,31 +381,40 @@ def serve_http(engine: InferenceEngine, host: str = "127.0.0.1", port: int = 800
             else:
                 self._json(404, {"error": "unknown path"})
 
+        def _inputs(self, req):
+            """Request JSON → (raw inputs, error-response-or-None)."""
+            if "paths" in req:
+                paths = [str(p) for p in req["paths"]]
+                if root is not None:
+                    resolved = [str(Path(p).resolve()) for p in paths]
+                    if not all(r == root or r.startswith(root + "/")
+                               for r in resolved):
+                        return None, (403, {"error": "path outside --paths-root"})
+                    paths = resolved
+                elif self.client_address[0] not in ("127.0.0.1", "::1"):
+                    return None, (403, {"error": "'paths' is loopback-only without "
+                                                 "paths_root; send 'arrays_b64'"})
+                return paths, None
+            if "arrays_b64" in req:
+                raw = np.load(io.BytesIO(base64.b64decode(req["arrays_b64"])),
+                              allow_pickle=False)
+                return list(raw), None
+            return None, (400, {"error": "need 'paths' or 'arrays_b64'"})
+
         def do_POST(self):
-            if self.path != "/classify":
+            if self.path not in ("/classify", "/retrieve"):
                 return self._json(404, {"error": "unknown path"})
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length) or b"{}")
-                if "paths" in req:
-                    paths = [str(p) for p in req["paths"]]
-                    if root is not None:
-                        resolved = [str(Path(p).resolve()) for p in paths]
-                        if not all(r == root or r.startswith(root + "/")
-                                   for r in resolved):
-                            return self._json(403, {"error": "path outside --paths-root"})
-                        paths = resolved
-                    elif self.client_address[0] not in ("127.0.0.1", "::1"):
-                        return self._json(
-                            403, {"error": "'paths' is loopback-only without "
-                                           "paths_root; send 'arrays_b64'"})
-                    imgs = engine.process_img_uint8(paths)
-                elif "arrays_b64" in req:
-                    raw = np.load(io.BytesIO(base64.b64decode(req["arrays_b64"])),
-                                  allow_pickle=False)
-                    imgs = engine.process_img_uint8(list(raw))
-                else:
-                    return self._json(400, {"error": "need 'paths' or 'arrays_b64'"})
+                inputs, err = self._inputs(req)
+                if err is not None:
+                    return self._json(*err)
+                if self.path == "/retrieve":
+                    results = engine.retrieve(
+                        inputs, similarity_type=req.get("similarity_type", "both"))
+                    return self._json(200, {"results": results})
+                imgs = engine.process_img_uint8(inputs)
                 if bat is not None:
                     scores = bat.submit(imgs).result(timeout=60)
                 else:
@@ -413,6 +446,9 @@ def main(argv=None) -> int:
     ap.add_argument("--paths-root", default=None,
                     help="restrict 'paths' requests to files under this dir "
                          "(without it, 'paths' is loopback-only)")
+    ap.add_argument("--corpus-json", default=None,
+                    help='retrieval corpus for /retrieve: JSON '
+                         '{"targets": [...], "classes": [...]?, "top_k": 5?}')
     args = ap.parse_args(argv)
 
     model = load_gloria(args.ckpt)
@@ -422,6 +458,11 @@ def main(argv=None) -> int:
     else:
         classes = generate_chexpert_class_prompts()
     engine = InferenceEngine(model, classes, max_batch=args.max_batch)
+    if args.corpus_json:
+        with open(args.corpus_json) as fh:
+            corpus = json.load(fh)
+        engine.set_corpus(corpus["targets"], corpus.get("classes"),
+                          top_k=int(corpus.get("top_k", 5)))
     if not args.no_warmup:
         engine.warmup()
     batcher = DynamicBatcher(engine, max_wait_ms=args.max_wait_ms)

@@ -194,6 +194,35 @@ def test_http_paths_root_restriction(engine, tmp_path):
         server.shutdown()
 
 
+def test_retrieve_endpoint(engine, tmp_path):
+    import cv2
+
+    corpus = ["mild edema at the left lung base", "no finding",
+              "edema in the lung", "no finding today"]
+    engine.set_corpus(corpus, target_classes=["edema", "none", "edema", "none"],
+                      top_k=2)
+    img = (np.random.RandomState(90).rand(70, 70) * 255).astype(np.uint8)
+    direct = engine.retrieve([img])
+    assert len(direct) == 1 and len(direct[0]["targets"]) == 2
+    assert set(direct[0]["targets"]) <= set(corpus)
+    assert len(direct[0]["classes"]) == 2
+
+    p = str(tmp_path / "q.png")
+    cv2.imwrite(p, img)
+    server = serve_http(engine, host="127.0.0.1", port=0)
+    try:
+        port = server.server_address[1]
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/retrieve",
+            data=json.dumps({"paths": [p]}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=60) as r:
+            out = json.loads(r.read())
+        assert out["results"][0]["targets"] == direct[0]["targets"]
+    finally:
+        server.shutdown()
+
+
 def test_http_server_classify(engine, tmp_path):
     import cv2
 
