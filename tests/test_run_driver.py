@@ -61,3 +61,46 @@ def test_run_driver_pretrain_smoke(tmp_path):
     manifest = json.loads((run_dir / "ckpt" / "manifest.json").read_text())
     assert manifest["entries"] and manifest["last"]
     assert "best_ckpt" in proc.stdout and "test_loss" in proc.stdout
+
+
+def test_resume_continues_bit_identically(tmp_path):
+    """Checkpoint completeness: restoring (params, opt_state incl. the
+    nonfinite-guard wrapper, batch_stats, rng, step) and continuing must
+    reproduce the uninterrupted trajectory exactly."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from gloria_tpu.builder import init_gloria
+    from gloria_tpu.configs import Config
+    from gloria_tpu.data.synthetic import make_synthetic_batch
+    from gloria_tpu.training.checkpoints import load_checkpoint, save_checkpoint
+
+    cfg = Config(CFG)
+    raw = make_synthetic_batch(batch_size=4, num_tokens=16, imsize=32, vocab_size=256)
+    batch = {k: jnp.asarray(v) for k, v in raw.items()}
+    model, state, step, _ = init_gloria(cfg, raw)
+
+    for _ in range(3):
+        state, _ = step(state, batch)
+    save_checkpoint(tmp_path / "ck", state, cfg)
+
+    lossesA, stateA = [], state
+    for _ in range(3):
+        stateA, m = step(stateA, batch)
+        lossesA.append(float(m["loss"]))
+
+    # fresh process-equivalent: new template state, restore, continue
+    model2, template, step2, _ = init_gloria(cfg, raw)
+    restored_tree, _ = load_checkpoint(tmp_path / "ck", target=template)
+    stateB = jax.tree_util.tree_map(jnp.asarray, restored_tree)
+    assert int(jax.device_get(stateB.step)) == 3
+    lossesB = []
+    for _ in range(3):
+        stateB, m = step2(stateB, batch)
+        lossesB.append(float(m["loss"]))
+
+    assert lossesA == lossesB, (lossesA, lossesB)
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(stateA.params)),
+                    jax.tree_util.tree_leaves(jax.device_get(stateB.params))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
