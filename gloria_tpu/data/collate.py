@@ -50,7 +50,11 @@ class GloriaCollate:
         self.split = split
         self.imsize = int(cfg.data.image.imsize or 256)
         self.crop = int(cfg.transforms.random_crop.crop_size) if cfg.transforms and cfg.transforms.random_crop else self.imsize
-        self.transform = build_transformation(cfg, split, seed=seed)
+        # opt-in uint8 batches: normalization moves into the jitted step
+        # (GLoRIA.image_encoder_forward), shrinking host→device transfers 4×
+        self.device_normalize = bool(cfg.data.device_normalize)
+        self.transform = build_transformation(
+            cfg, split, seed=seed, normalize_output=not self.device_normalize)
         word_num = int(cfg.data.text.word_num or 97)
         self.text = TextProcessor(tokenizer, num_words=word_num)
         self.sort_by_len = sort_by_len
@@ -63,7 +67,8 @@ class GloriaCollate:
         self._native_rng = np.random.RandomState(seed)
         t = cfg.transforms or Config()
         simple_augs = t.random_affine is None and t.color_jitter is None
-        if cfg.data.native_ingest and (t.norm or "half") == "half" and simple_augs:
+        if (cfg.data.native_ingest and (t.norm or "half") == "half" and simple_augs
+                and not self.device_normalize):  # native kernel fuses normalize
             from . import native
 
             self.native_ingest = native.available()
@@ -98,7 +103,8 @@ class GloriaCollate:
                 im = ((im - lo) / (hi - lo + 1e-8) * 255).astype(np.uint8)
             im = letterbox_resize(to_rgb(im), self.imsize)
             out.append(self.transform(im))
-        return np.stack(out).astype(np.float32)
+        stacked = np.stack(out)
+        return stacked if self.device_normalize else stacked.astype(np.float32)
 
     def process_text(self, reports: list[str]) -> dict:
         return self.text(reports)

@@ -147,7 +147,12 @@ def normalize(img: np.ndarray, mode: str | None) -> np.ndarray:
 # Pipeline factory (mirrors builder.build_transformation)
 # ---------------------------------------------------------------------------
 
-def build_transformation(cfg: Config, split: str, seed: int | None = None) -> Callable[[np.ndarray], np.ndarray]:
+def build_transformation(cfg: Config, split: str, seed: int | None = None,
+                         normalize_output: bool = True) -> Callable[[np.ndarray], np.ndarray]:
+    """``normalize_output=False`` stops before ToTensor+Normalize and returns
+    uint8 — for the device-side-normalization ingest path (4× smaller
+    host→device transfers; the jitted step applies the identical
+    (x/255 − mean)/σ in f32)."""
     t = cfg.transforms or Config()
     rng = np.random.RandomState(seed)
 
@@ -175,6 +180,8 @@ def build_transformation(cfg: Config, split: str, seed: int | None = None) -> Ca
         else:
             if t.random_crop is not None:
                 img = center_crop(img, int(t.random_crop.crop_size))
+        if not normalize_output:
+            return np.ascontiguousarray(img).astype(np.uint8)
         return normalize(np.ascontiguousarray(img), t.norm)
 
     return apply

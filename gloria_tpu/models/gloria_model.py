@@ -148,10 +148,27 @@ class GLoRIA(nn.Module):
             )
         else:
             self.no_attn_vec = None
+        # uint8-batch support: ToTensor+Normalize on device (the
+        # device_normalize ingest path ships uint8 for 4× smaller transfers)
+        norm_mode = cfg.transforms.norm if cfg.transforms else None
+        if norm_mode == "imagenet":
+            from ..data.transforms import IMAGENET_MEAN, IMAGENET_STD
+
+            self._norm_mean, self._norm_std = tuple(IMAGENET_MEAN), tuple(IMAGENET_STD)
+        elif norm_mode == "half":
+            self._norm_mean, self._norm_std = (0.5,) * 3, (0.5,) * 3
+        else:
+            self._norm_mean, self._norm_std = (0.0,) * 3, (1.0,) * 3
 
     # -- encoder branches ---------------------------------------------------
     def image_encoder_forward(self, imgs: jnp.ndarray, train: bool = False, deterministic: bool = True):
-        """imgs [B, H, W, 3] → (img_emb_l [B, R, D], img_emb_g [B, D], (h, w))."""
+        """imgs [B, H, W, 3] float (host-normalized) or uint8 (raw pixels;
+        normalized here in f32, identically to the host pipeline) →
+        (img_emb_l [B, R, D], img_emb_g [B, D], (h, w))."""
+        if imgs.dtype == jnp.uint8:
+            mean = jnp.asarray(self._norm_mean, jnp.float32)
+            std = jnp.asarray(self._norm_std, jnp.float32)
+            imgs = (imgs.astype(jnp.float32) / 255.0 - mean) / std
         img_emb_g, img_emb_l, (h, w) = self.img_encoder(imgs, train=train)
         if self.position_embeddings is not None:
             img_emb_l = img_emb_l + self.position_embeddings((h, w)).reshape(1, h * w, -1)

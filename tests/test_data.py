@@ -180,3 +180,44 @@ def test_collate_uses_native_train_path():
     cfg2.data.native_ingest = True
     cfg2.transforms.random_affine = {"degrees": 5, "translate": [0.1, 0.1], "scale": [0.9, 1.1]}
     assert not GloriaCollate(cfg2, "train", tok, seed=0).native_ingest
+
+
+def test_device_normalize_uint8_path_matches_host():
+    """data.device_normalize: collate emits uint8 (4x smaller transfers) and
+    the model's device-side normalize reproduces the host f32 pipeline."""
+    import jax
+
+    from gloria_tpu.models import GLoRIA
+
+    ds = SyntheticPretrainingDataset(size=4, imsize=80)
+    tok = WordPieceTokenizer.from_corpus(ds.corpus())
+    cfg = data_cfg()
+    cfg.set_path("model.gloria.temp1", 4.0)
+    cfg.set_path("model.vision.model_name", "resnet_18")
+    cfg.set_path("model.text.embedding_dim", 32)
+    cfg.set_path("model.text.agg_tokens", True)
+    cfg.set_path("model.text.bert_config", {
+        "vocab_size": 256, "hidden_size": 32, "num_layers": 1, "num_heads": 4,
+        "intermediate_size": 64, "max_position_embeddings": 48})
+
+    items = [ds[i] for i in range(3)]
+    coll_f32 = GloriaCollate(cfg, "test", tok)
+    cfg_u8 = Config(cfg.to_dict())
+    cfg_u8.set_path("data.device_normalize", True)
+    coll_u8 = GloriaCollate(cfg_u8, "test", tok)
+
+    b_f32 = coll_f32(items)
+    b_u8 = coll_u8(items)
+    assert b_u8["imgs"].dtype == np.uint8
+    assert b_f32["imgs"].dtype == np.float32
+    assert b_u8["imgs"].nbytes * 4 == b_f32["imgs"].nbytes
+
+    model = GLoRIA(cfg)
+    mb = {k: np.asarray(v) for k, v in device_batch(b_f32).items() if k != "cap_lens"}
+    variables = model.init(jax.random.PRNGKey(0), mb)
+    out_f32 = model.apply(variables, mb, train=False)
+    mb_u8 = dict(mb)
+    mb_u8["imgs"] = np.asarray(b_u8["imgs"])
+    out_u8 = model.apply(variables, mb_u8, train=False)
+    for a, b in zip(out_f32[:4], out_u8[:4]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
