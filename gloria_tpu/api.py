@@ -100,6 +100,27 @@ class GloriaModel:
         return {k: self.process_text(v) for k, v in class_prompts.items()}
 
     # -- forward + similarities ----------------------------------------------
+    def encode_images(self, imgs: jnp.ndarray):
+        """Image tower only → (img_emb_l [B, R, D], img_emb_g [B, D]).
+        Same embeddings as :meth:`encode` (the towers are independent) —
+        used by eval/serving paths that reuse cached text embeddings."""
+        if not hasattr(self, "_img_forward"):
+            m = self.model
+            self._img_forward = jax.jit(lambda v, x: m.apply(
+                v, x, train=False, method=type(m).image_encoder_forward)[:2])
+        return self._img_forward(self.variables, jnp.asarray(imgs))
+
+    def encode_text(self, txts: dict):
+        """Text tower only → (txt_emb_l [T, W, D], txt_emb_g [T, D])."""
+        if not hasattr(self, "_txt_forward"):
+            m = self.model
+            self._txt_forward = jax.jit(lambda v, a, b, c, d: m.apply(
+                v, a, b, c, d, method=type(m).text_encoder_forward))
+        return self._txt_forward(
+            self.variables, jnp.asarray(txts["caption_ids"]),
+            jnp.asarray(txts["attention_mask"]), jnp.asarray(txts["token_type_ids"]),
+            jnp.asarray(txts["word_assignment"]))
+
     def encode(self, imgs: jnp.ndarray, txts: dict):
         img_l, img_g, txt_l, txt_g = self._forward(self.variables, {
             "imgs": jnp.asarray(imgs),

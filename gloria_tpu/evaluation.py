@@ -35,6 +35,12 @@ def evaluate_zero_shot(
     prompts = {c: prompts[c] for c in class_names}
     mapping = model.process_class_prompts(prompts)
 
+    # class prompt embeddings computed ONCE (the reference re-runs the image
+    # tower per class, gloria.py:252-257; the towers are independent so
+    # encoding each side once is numerically identical and C× cheaper)
+    cls_emb = {c: (*model.encode_text(mapping[c]), mapping[c]["cap_lens"])
+               for c in class_names}
+
     # raw (un-normalized) per-class scores accumulated over image batches;
     # z-normalization must happen over the FULL image set, as the reference
     # normalizes the stacked matrix once (gloria.py:266-270)
@@ -42,9 +48,13 @@ def evaluate_zero_shot(
     for start in range(0, len(image_paths), batch_size):
         chunk = image_paths[start : start + batch_size]
         imgs = model.process_img(list(chunk))
+        img_l, img_g = model.encode_images(imgs)
         cls_scores = []
         for cls in class_names:
-            sims = model.get_similarities(imgs, mapping[cls], similarity_type="both")
+            txt_l, txt_g, cap_lens = cls_emb[cls]
+            local = model.get_local_similarities(img_l, txt_l, cap_lens)
+            glob = model.get_global_similarities(img_g, txt_g)
+            sims = (local + glob) / 2  # get_similarities 'both' formula
             cls_scores.append(sims.max(axis=1))
         scores.append(np.stack(cls_scores, axis=1))
     arr = np.concatenate(scores, axis=0)  # [N, C]
