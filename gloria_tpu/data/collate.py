@@ -51,8 +51,11 @@ class GloriaCollate:
         self.imsize = int(cfg.data.image.imsize or 256)
         self.crop = int(cfg.transforms.random_crop.crop_size) if cfg.transforms and cfg.transforms.random_crop else self.imsize
         # opt-in uint8 batches: normalization moves into the jitted step
-        # (GLoRIA.image_encoder_forward), shrinking host→device transfers 4×
-        self.device_normalize = bool(cfg.data.device_normalize)
+        # (GLoRIA.image_encoder_forward), shrinking host→device transfers 4×.
+        # color_jitter emits float pixel values a uint8 cast would truncate,
+        # so jittered configs keep host-side normalization.
+        t_aug = cfg.transforms or Config()
+        self.device_normalize = bool(cfg.data.device_normalize) and t_aug.color_jitter is None
         self.transform = build_transformation(
             cfg, split, seed=seed, normalize_output=not self.device_normalize)
         word_num = int(cfg.data.text.word_num or 97)

@@ -131,16 +131,28 @@ def color_jitter(
     return np.clip(x, 0, 255.0 if img.dtype == np.uint8 or img.max() > 2 else 1.0)
 
 
+def norm_constants(mode: str | None) -> tuple[tuple[float, ...], tuple[float, ...]]:
+    """(mean, std) of the post-ToTensor Normalize for ``mode``.  The single
+    source of truth for host (``normalize``) and device
+    (``GLoRIA.image_encoder_forward``, serving) normalization — raises on
+    unknown modes everywhere so a config typo cannot silently train
+    unnormalized."""
+    if mode == "imagenet":
+        return tuple(IMAGENET_MEAN), tuple(IMAGENET_STD)
+    if mode == "half":
+        return (0.5,) * 3, (0.5,) * 3
+    if mode in (None, "none"):
+        return (0.0,) * 3, (1.0,) * 3
+    raise NotImplementedError(f"normalization not implemented: {mode}")
+
+
 def normalize(img: np.ndarray, mode: str | None) -> np.ndarray:
     """uint8 HWC → float32 HWC in normalized range (ToTensor + Normalize)."""
+    mean, std = norm_constants(mode)
     x = img.astype(np.float32) / 255.0
-    if mode == "imagenet":
-        x = (x - np.asarray(IMAGENET_MEAN, np.float32)) / np.asarray(IMAGENET_STD, np.float32)
-    elif mode == "half":
-        x = (x - 0.5) / 0.5
-    elif mode not in (None, "none"):
-        raise NotImplementedError(f"normalization not implemented: {mode}")
-    return x
+    if mode in (None, "none"):
+        return x
+    return (x - np.asarray(mean, np.float32)) / np.asarray(std, np.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -181,7 +193,9 @@ def build_transformation(cfg: Config, split: str, seed: int | None = None,
             if t.random_crop is not None:
                 img = center_crop(img, int(t.random_crop.crop_size))
         if not normalize_output:
-            return np.ascontiguousarray(img).astype(np.uint8)
+            # round (not floor) any float augmentation output; callers must
+            # not enable this path for float-valued chains (color_jitter)
+            return np.clip(np.rint(np.ascontiguousarray(img)), 0, 255).astype(np.uint8)
         return normalize(np.ascontiguousarray(img), t.norm)
 
     return apply

@@ -149,16 +149,12 @@ class GLoRIA(nn.Module):
         else:
             self.no_attn_vec = None
         # uint8-batch support: ToTensor+Normalize on device (the
-        # device_normalize ingest path ships uint8 for 4× smaller transfers)
-        norm_mode = cfg.transforms.norm if cfg.transforms else None
-        if norm_mode == "imagenet":
-            from ..data.transforms import IMAGENET_MEAN, IMAGENET_STD
+        # device_normalize ingest path ships uint8 for 4× smaller transfers);
+        # shares the host pipeline's mode table (raises on unknown modes)
+        from ..data.transforms import norm_constants
 
-            self._norm_mean, self._norm_std = tuple(IMAGENET_MEAN), tuple(IMAGENET_STD)
-        elif norm_mode == "half":
-            self._norm_mean, self._norm_std = (0.5,) * 3, (0.5,) * 3
-        else:
-            self._norm_mean, self._norm_std = (0.0,) * 3, (1.0,) * 3
+        self._norm_mean, self._norm_std = norm_constants(
+            cfg.transforms.norm if cfg.transforms else None)
 
     # -- encoder branches ---------------------------------------------------
     def image_encoder_forward(self, imgs: jnp.ndarray, train: bool = False, deterministic: bool = True):

@@ -36,27 +36,19 @@ class Retriever:
         self.gloria = gloria_model
         self.top_k = top_k
         txts = gloria_model.process_text(targets)
-        # embed target corpus once
-        dummy_img = jnp.zeros((1, 224, 224, 3), jnp.float32)
-        _, _, txt_l, txt_g = gloria_model.encode(dummy_img, txts)
+        # embed target corpus once (text tower only)
+        txt_l, txt_g = gloria_model.encode_text(txts)
         self.target_local = txt_l
         self.target_global = txt_g
         self.cap_lens = jnp.asarray(txts["cap_lens"])
         self.targets = list(targets)
         self.target_classes = np.asarray(target_classes) if target_classes is not None else None
 
-    def retrieve(self, image, similarity_type: str = "both"):
+    def retrieve_embedded(self, img_l, img_g, similarity_type: str = "both") -> list:
+        """Batch of encoded queries → per-query (targets, classes) top-k.
+        One pairwise program scores the whole batch against the corpus."""
         if similarity_type not in ("both", "local", "global"):
             raise ValueError("similarity_type must be one of ['both', 'local', 'global']")
-        imgs = self.gloria.process_img([image] if not isinstance(image, list) else image)
-        txts_dummy = {  # encode image only: reuse forward with the stored text batch
-            "caption_ids": np.zeros((1, self.target_local.shape[1]), np.int32),
-            "attention_mask": np.ones((1, self.target_local.shape[1]), np.int32),
-            "token_type_ids": np.zeros((1, self.target_local.shape[1]), np.int32),
-            "word_assignment": np.eye(self.target_local.shape[1], dtype=np.float32)[None],
-        }
-        img_l, img_g, _, _ = self.gloria.encode(imgs, txts_dummy)
-
         g = self.gloria.cfg.model.gloria if self.gloria.cfg.model else None
         temp1 = (g.temp1 if g else None) or 4.0
         temp2 = (g.temp2 if g else None) or 5.0
@@ -67,17 +59,27 @@ class Retriever:
             temp1=temp1, temp2=temp2, agg="sum", chunk=0,
             need_diag_attn=False, precision="highest",
         )
-        local = np.asarray(m.similarities)[0] * temp3  # single source image
-        global_ = np.asarray(gloria_loss.global_similarities(img_g, self.target_global))[0]
+        local = np.asarray(m.similarities) * temp3                       # [N, T]
+        global_ = np.asarray(gloria_loss.global_similarities(img_g, self.target_global))
 
         if similarity_type == "local":
             sims = local
         elif similarity_type == "global":
             sims = global_
         else:
-            norm = lambda x: (x - x.mean(axis=0)) / x.std(axis=0)
+            norm = lambda x: (x - x.mean(axis=1, keepdims=True)) / x.std(axis=1, keepdims=True)
             sims = np.stack([norm(local), norm(global_)]).mean(axis=0)
 
-        sorted_idx = np.argsort(sims)[::-1][: self.top_k]
-        retrieved_cls = self.target_classes[sorted_idx] if self.target_classes is not None else None
-        return np.asarray(self.targets, dtype=object)[sorted_idx], retrieved_cls
+        results = []
+        for row in sims:
+            idx = np.argsort(row)[::-1][: self.top_k]
+            cls = self.target_classes[idx] if self.target_classes is not None else None
+            results.append((np.asarray(self.targets, dtype=object)[idx], cls))
+        return results
+
+    def retrieve(self, image, similarity_type: str = "both"):
+        """Single query (reference ``Retriver.retrieve`` API): path/array →
+        (top-k targets, top-k classes)."""
+        imgs = self.gloria.process_img([image] if not isinstance(image, list) else image)
+        img_l, img_g = self.gloria.encode_images(imgs)
+        return self.retrieve_embedded(img_l, img_g, similarity_type)[0]

@@ -56,7 +56,7 @@ class InferenceEngine:
         import jax
         import jax.numpy as jnp
 
-        from .data.transforms import IMAGENET_MEAN, IMAGENET_STD
+        from .data.transforms import norm_constants
 
         self.model = model
         self.max_batch = max_batch
@@ -64,16 +64,9 @@ class InferenceEngine:
         gloria = model.model
 
         t = model.cfg.transforms or None
-        norm_mode = t.norm if t else None
-        if norm_mode == "imagenet":
-            mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
-            std = jnp.asarray(IMAGENET_STD, jnp.float32)
-        elif norm_mode == "half":
-            mean = jnp.asarray(0.5, jnp.float32)
-            std = jnp.asarray(0.5, jnp.float32)
-        else:
-            mean = jnp.asarray(0.0, jnp.float32)
-            std = jnp.asarray(1.0, jnp.float32)
+        m, s = norm_constants(t.norm if t else None)
+        mean = jnp.asarray(m, jnp.float32)
+        std = jnp.asarray(s, jnp.float32)
 
         def img_fwd(variables, imgs):
             if imgs.dtype == jnp.uint8:
@@ -158,14 +151,17 @@ class InferenceEngine:
                                     target_classes=target_classes, top_k=top_k)
 
     def retrieve(self, images, similarity_type: str = "both") -> list[dict]:
-        """Per query image: top-k corpus reports (and classes when known)."""
+        """Per query image: top-k corpus reports (and classes when known).
+        The whole query batch is encoded once and scored against the corpus
+        in one pairwise program."""
         if getattr(self, "_retriever", None) is None:
             raise RuntimeError("no corpus set — call set_corpus() first")
         if isinstance(images, (str, Path, np.ndarray)):
             images = [images]
+        imgs = np.asarray(self.model.process_img(list(images)))
+        img_l, img_g = self.encode_images(imgs)
         out = []
-        for image in images:
-            targets, classes = self._retriever.retrieve(image, similarity_type)
+        for targets, classes in self._retriever.retrieve_embedded(img_l, img_g, similarity_type):
             out.append({"targets": [str(t) for t in targets],
                         "classes": None if classes is None
                         else [c.item() if hasattr(c, "item") else c for c in classes]})

@@ -3,7 +3,11 @@
 Inverse of :mod:`gloria_tpu.utils.torch_import`: a model trained here can be
 handed back to the PyTorch reference (or any of its zoo consumers) as a
 Lightning-format ``.ckpt`` with the reference's ``gloria.``-prefixed keys
-(``/root/reference/gloria/gloria.py:81-94``) and ``hyper_parameters`` block.
+(``/root/reference/gloria/gloria.py:81-94``), the HF ``position_ids``
+buffer its pinned transformers==4.2.1 expects under strict loading, and the
+``hyper_parameters`` block (written as an OmegaConf DictConfig when
+omegaconf is importable — the reference loader does attribute access on it;
+plain dict otherwise, which gloria_tpu's own loader accepts).
 Round-trip is exact: every conversion is a transpose/reshape of f32 arrays
 (tested export→import→identical tree + identical forward).
 
@@ -111,6 +115,10 @@ def export_bert(params: dict) -> dict:
 
     out["embeddings.word_embeddings.weight"] = _np(params["word_embeddings"]["embedding"])
     out["embeddings.position_embeddings.weight"] = _np(params["position_embeddings"]["embedding"])
+    # transformers==4.2.1 (the reference's pin) registers position_ids as a
+    # persistent buffer, so strict load_state_dict requires the key
+    out["embeddings.position_ids"] = np.arange(
+        params["position_embeddings"]["embedding"].shape[0], dtype=np.int64)[None, :]
     out["embeddings.token_type_embeddings.weight"] = _np(params["token_type_embeddings"]["embedding"])
     ln(params["embeddings_ln"], "embeddings.LayerNorm")
     dense(params["pooler"], "pooler.dense")
@@ -168,6 +176,12 @@ def export_gloria(variables: dict) -> dict:
     params = variables["params"]
     stats = (variables.get("batch_stats") or {}).get("img_encoder", {}).get("backbone", {})
     backbone = params["img_encoder"]["backbone"]
+    if not stats:
+        raise ValueError(
+            "variables carry no batch_stats for the image backbone — BN "
+            "running stats are part of the reference checkpoint format; "
+            "export from a full checkpoint (params + batch_stats), not a "
+            "params-only tree")
     if "conv0" in backbone:  # DenseNet layout
         cnn = export_densenet(backbone, stats)
     else:
@@ -197,9 +211,23 @@ def save_reference_checkpoint(path, variables: dict, cfg=None) -> None:
     reference's own ``load_gloria`` — can consume."""
     import torch
 
-    state_dict = {k: torch.from_numpy(np.array(v, dtype=np.float32, copy=True))
-                  for k, v in export_gloria(variables).items()}
+    def to_tensor(v):
+        a = np.asarray(v)
+        if np.issubdtype(a.dtype, np.floating):
+            a = a.astype(np.float32)
+        return torch.from_numpy(np.ascontiguousarray(a).copy())
+
+    state_dict = {k: to_tensor(v) for k, v in export_gloria(variables).items()}
     hyper = cfg.to_dict() if hasattr(cfg, "to_dict") else (cfg or {})
+    try:
+        # the reference's loader does attribute access on hyper_parameters
+        # (cfg.model.text...), i.e. expects an OmegaConf DictConfig — emit
+        # one when omegaconf is available so the file loads on both sides
+        from omegaconf import OmegaConf
+
+        hyper = OmegaConf.create(hyper)
+    except ImportError:
+        pass
     torch.save({"state_dict": state_dict, "hyper_parameters": hyper}, str(path))
 
 
