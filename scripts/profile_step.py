@@ -138,7 +138,7 @@ def main():
     words = jax.random.normal(k2, (B, T, D), jnp.float32)
     cap_lens = jnp.asarray(np.random.RandomState(0).randint(5, T - 2, B))
 
-    for chunk in (8, 16, 48):
+    for chunk in (0, 8, 16):
         @jax.jit
         def loss_step(r, w):
             def loss(rw):
