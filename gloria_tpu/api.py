@@ -301,7 +301,16 @@ def load_gloria(
 
         state, cfg = load_checkpoint(path)
         cfg = cfg_override or cfg or Config()
-        variables = state if "params" in state else {"params": state}
+        if isinstance(state, dict) and "opt_state" in state:
+            # training checkpoint: a full TrainState tree (params, opt_state,
+            # batch_stats, rng, step) — the model needs only the collections
+            variables = {"params": state["params"]}
+            if state.get("batch_stats") is not None:
+                variables["batch_stats"] = state["batch_stats"]
+        elif "params" in state:
+            variables = state
+        else:
+            variables = {"params": state}
         return GloriaModel(cfg, variables, tokenizer)
 
     # torch Lightning checkpoint from the reference zoo

@@ -110,6 +110,29 @@ def test_checkpoint_roundtrip(gm, tmp_path):
     )
 
 
+def test_load_gloria_from_training_checkpoint(gm, tmp_path):
+    """Regression: training checkpoints store the FULL TrainState (params,
+    opt_state, batch_stats, rng, step); load_gloria must extract the model
+    collections instead of passing the whole tree to flax apply."""
+    from gloria_tpu.training.checkpoints import save_checkpoint
+
+    fake_state = {
+        "step": np.asarray(3, np.int32),
+        "params": gm.variables["params"],
+        "batch_stats": gm.variables.get("batch_stats"),
+        "opt_state": {"count": np.zeros((), np.int32)},
+        "rng": np.zeros(2, np.uint32),
+    }
+    ckpt = tmp_path / "train_ckpt"
+    save_checkpoint(ckpt, fake_state, cfg=gm.cfg)
+    loaded = api.load_gloria(str(ckpt), tokenizer=gm.tokenizer)
+    imgs = gm.process_img([(np.random.RandomState(4).rand(64, 64) * 255).astype(np.uint8)])
+    txts = gm.process_text(["no finding"])
+    np.testing.assert_allclose(
+        loaded.get_similarities(imgs, txts), gm.get_similarities(imgs, txts),
+        rtol=1e-5, atol=1e-6)
+
+
 def test_checkpoint_manager(tmp_path):
     from gloria_tpu.training.checkpoints import CheckpointManager
 
