@@ -66,11 +66,26 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
-    sh = batch_sharding(mesh)
+    """Single-host placement: each array is the GLOBAL batch, leading axis
+    split over 'data'.  For multi-host runs use :func:`shard_batch_per_host`
+    (each host holds only its rows)."""
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, NamedSharding(mesh, P(*(("data",) + (None,) * (x.ndim - 1))))),
         batch,
     )
+
+
+def shard_batch_per_host(batch: dict, mesh: Mesh) -> dict:
+    """Multi-host placement: each process passes only its LOCAL rows of the
+    global batch (global batch = local rows × process_count along 'data');
+    ``jax.make_array_from_process_local_data`` assembles the global sharded
+    array.  On a single process this equals :func:`shard_batch`."""
+
+    def place(x):
+        sharding = NamedSharding(mesh, P(*(("data",) + (None,) * (x.ndim - 1))))
+        return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+
+    return jax.tree_util.tree_map(place, batch)
 
 
 # Megatron-style TP rules over the transformer towers.  Column-parallel

@@ -56,6 +56,13 @@ class CheckpointManager:
 
     def save(self, state: Any, step: int, metrics: dict | None = None,
              cfg: Config | None = None) -> str:
+        # single-writer under multi-host: the state this trainer checkpoints
+        # is replicated across hosts under pure DP, so process 0 writes for
+        # everyone (avoids N hosts racing on the shared directory).  Fully
+        # host-sharded state would need orbax's cooperative multihost path;
+        # that limitation is documented in docs/MULTIHOST.md.
+        if jax.process_index() != 0:
+            return str(self.dir / f"step_{step:08d}")
         metrics = metrics or {}
         metric = metrics.get(self.monitor)
         name = f"step_{step:08d}"

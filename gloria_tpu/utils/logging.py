@@ -18,6 +18,13 @@ from typing import Any
 class MetricLogger:
     def __init__(self, output_dir: str | Path | None, project: str | None = None,
                  experiment: str | None = None, use_wandb: bool = False):
+        # single-writer under multi-host: only process 0 persists metric
+        # files (values are replicated SPMD outputs, identical on all hosts)
+        import jax
+
+        if jax.process_index() != 0:
+            output_dir = None
+            use_wandb = False
         self.output_dir = Path(output_dir) if output_dir else None
         if self.output_dir:
             self.output_dir.mkdir(parents=True, exist_ok=True)

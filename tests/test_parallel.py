@@ -146,6 +146,21 @@ def test_param_spec_rules():
     assert param_spec(("x",), odd, fsdp_size=2) == () or True
 
 
+def test_shard_batch_per_host_single_process_equivalence():
+    """With one process, per-host assembly must equal the single-host path."""
+    from gloria_tpu.parallel.mesh import shard_batch_per_host
+
+    mesh = create_mesh(8)
+    raw = {"imgs": np.arange(8 * 4 * 4 * 3, dtype=np.float32).reshape(8, 4, 4, 3),
+           "cap_lens": np.arange(8, dtype=np.int32)}
+    with mesh:
+        a = shard_batch({k: jnp.asarray(v) for k, v in raw.items()}, mesh)
+        b = shard_batch_per_host(raw, mesh)
+    for k in raw:
+        assert a[k].sharding == b[k].sharding
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+
+
 def test_create_mesh_raises_on_too_few_devices():
     # Regression for round-1 MULTICHIP failure: asking for an 8-device mesh
     # with fewer visible devices must error loudly, not silently truncate.
