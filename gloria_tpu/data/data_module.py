@@ -38,6 +38,17 @@ class DataModule:
         raise NotImplementedError
 
     def loader(self, split: str, **kw) -> PrefetchLoader:
+        if "process_count" not in kw:
+            # multi-host: each process loads only its rows of the global batch
+            # (see PrefetchLoader docstring); resolved lazily so CPU-only
+            # tests can pass explicit fakes instead
+            try:
+                import jax
+
+                kw["process_index"] = jax.process_index()
+                kw["process_count"] = jax.process_count()
+            except Exception:
+                pass
         return PrefetchLoader(
             self.dataset(split), self.collate(split), self.batch_size,
             shuffle=(split == "train"), num_workers=self.num_workers,

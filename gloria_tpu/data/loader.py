@@ -25,6 +25,15 @@ class PrefetchLoader:
     collate:   list[instance] → batch dict of numpy arrays
     to_device: batch dict → device batch (e.g. jax.device_put with sharding);
                identity when None.
+
+    Multi-host: ``batch_size`` is always the GLOBAL batch.  With
+    ``process_count > 1`` every process draws the SAME epoch order (the
+    shuffle RNG is seeded by ``seed + epoch`` only) and then keeps the
+    contiguous rows ``[process_index·L, (process_index+1)·L)`` of each
+    global batch (L = batch_size / process_count) — the slice layout
+    ``jax.make_array_from_process_local_data`` expects, so the assembled
+    global array equals the single-host batch row-for-row (replaces the
+    reference's Lightning `DistributedSampler` striding).
     """
 
     def __init__(
@@ -39,7 +48,16 @@ class PrefetchLoader:
         num_workers: int = 8,
         prefetch: int = 2,
         to_device: Callable | None = None,
+        process_index: int = 0,
+        process_count: int = 1,
     ):
+        if process_count > 1 and batch_size % process_count:
+            raise ValueError(
+                f"global batch_size={batch_size} not divisible by "
+                f"process_count={process_count}")
+        if not (0 <= process_index < max(1, process_count)):
+            raise ValueError(f"process_index={process_index} out of range for "
+                             f"process_count={process_count}")
         self.dataset = dataset
         self.collate = collate
         self.batch_size = batch_size
@@ -49,12 +67,20 @@ class PrefetchLoader:
         self.num_workers = max(1, num_workers)
         self.prefetch = max(1, prefetch)
         self.to_device = to_device or (lambda b: b)
+        self.process_index = process_index
+        self.process_count = max(1, process_count)
         self.epoch = 0
         self.sample_weights: np.ndarray | None = None  # for curriculum reweighting
 
     def __len__(self) -> int:
         n = len(self.dataset)
-        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+        n_batches = n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+        if self.process_count > 1 and not self.drop_last and n_batches:
+            # a trailing partial global batch smaller than process_count rows
+            # cannot give every process at least one row — it is dropped
+            if n % self.batch_size and n % self.batch_size < self.process_count:
+                n_batches -= 1
+        return n_batches
 
     def _epoch_order(self) -> np.ndarray:
         rng = np.random.RandomState(self.seed + self.epoch)
@@ -73,6 +99,15 @@ class PrefetchLoader:
         self.epoch += 1
         n_batches = len(self)
         batch_idxs = [order[i * self.batch_size : (i + 1) * self.batch_size] for i in range(n_batches)]
+        if self.process_count > 1:
+            # keep this process's contiguous slice of each global batch; a
+            # ragged final batch is truncated to per-process-even size so the
+            # cross-host assembly stays rectangular
+            local = []
+            for idxs in batch_idxs:
+                rows = len(idxs) // self.process_count
+                local.append(idxs[self.process_index * rows : (self.process_index + 1) * rows])
+            batch_idxs = local
 
         out_q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()

@@ -186,12 +186,14 @@ class MimicCxrFiler(PhysioNetFiler):
                                              process_function=process_function)
             img = np.asarray(load_nifti(nii))
             if img.dtype != np.uint8:
-                # registration output can be float; bring it to the same
-                # uint8 range read_dicom produces so the cache dtype is
-                # uniform regardless of ingestion path
-                import cv2
-
-                img = cv2.convertScaleAbs(img, alpha=255.0 / max(float(img.max()), 1e-8))
+                # registration output can be float (and can go negative);
+                # min-max normalize to the same uint8 range read_dicom
+                # produces so the cache dtype is uniform regardless of
+                # ingestion path (abs-rescaling would fold negative values
+                # onto positives)
+                lo, hi = float(img.min()), float(img.max())
+                img = ((img.astype(np.float64) - lo) / max(hi - lo, 1e-8) * 255.0)
+                img = np.clip(np.round(img), 0, 255).astype(np.uint8)
         else:
             path = self._fetch_dicom(subject_id, study_id, dicom_id)
             img = self._read_dicom_with_retry(path, subject_id, study_id, dicom_id)

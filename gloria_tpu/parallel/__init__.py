@@ -1,1 +1,4 @@
-from .mesh import batch_sharding, create_mesh, replicate, shard_batch, shard_params
+from .mesh import (
+    batch_sharding, create_mesh, replicate, shard_batch, shard_batch_per_host,
+    shard_params,
+)

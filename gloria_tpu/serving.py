@@ -186,8 +186,14 @@ class InferenceEngine:
         emb_l, emb_g = self._img_fwd(self.model.variables, jnp.asarray(imgs))
         return emb_l[:n], emb_g[:n]
 
-    def warmup(self, imsize: int | None = None) -> None:
-        """Compile every bucket ahead of traffic."""
+    def warmup(self, imsize: int | None = None, float32: bool = False) -> None:
+        """Compile every bucket ahead of traffic.
+
+        Warms the uint8 ingest path (the recommended client path: 4× smaller
+        transfers, device-side normalize).  Pass ``float32=True`` to ALSO
+        pre-compile each bucket for float inputs (e.g. arrays preprocessed by
+        ``api.process_img``) — otherwise a float client pays one cold compile
+        per bucket on first contact."""
         if imsize is None:
             data = self.model.cfg.data
             imsize = int(data.image.imsize or 256) if data and data.image else 256
@@ -202,11 +208,12 @@ class InferenceEngine:
             b *= 2
         sizes.append(self.max_batch)  # the cap is a bucket even if not pow2
         for b in sizes:
-            x = np.zeros((b, imsize, imsize, 3), np.uint8)  # primary (u8) path
-            if self._class_names:
-                self.classify(x)  # warms the image tower AND the scorer
-            else:
-                self.encode_images(x)
+            for dtype in (np.uint8,) + ((np.float32,) if float32 else ()):
+                x = np.zeros((b, imsize, imsize, 3), dtype)
+                if self._class_names:
+                    self.classify(x)  # warms the image tower AND the scorer
+                else:
+                    self.encode_images(x)
 
     # -- scoring -------------------------------------------------------------
     def classify(self, imgs: np.ndarray, z_normalize: bool = False) -> np.ndarray:
@@ -300,11 +307,17 @@ class DynamicBatcher:
                 fut.set_exception(RuntimeError("DynamicBatcher closed"))
 
     def _worker(self) -> None:
+        held = None  # shape/dtype-incompatible request deferred from the
+        # previous round; it starts the next batch so an early arrival is
+        # never served after later ones (re-enqueueing put it behind them)
         while not self._stop.is_set():
-            try:
-                first = self._q.get(timeout=0.05)
-            except queue.Empty:
-                continue
+            if held is not None:
+                first, held = held, None
+            else:
+                try:
+                    first = self._q.get(timeout=0.05)
+                except queue.Empty:
+                    continue
             batch = [first]
             # only coalesce compatible requests: one device program needs one
             # dtype and one per-image shape (mixing would also silently
@@ -323,7 +336,7 @@ class DynamicBatcher:
                     batch.append(item)
                     total += item[0].shape[0]
                 else:
-                    self._q.put(item)  # different program — next round
+                    held = item  # different program — it STARTS the next round
                     break
             t.cancel()
             try:
@@ -337,6 +350,8 @@ class DynamicBatcher:
                 for _, fut in batch:
                     if not fut.done():
                         fut.set_exception(e)
+        if held is not None:
+            self._q.put(held)  # let close() flush its future
 
 
 # -- stdlib HTTP front end ----------------------------------------------------

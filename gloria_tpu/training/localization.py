@@ -128,6 +128,7 @@ class EvaluateLocalization(Callback):
             if self.save_full_data:
                 self._artifacts["attn"][row["dicom_sent_id"]] = grid_attn[i]
                 self._artifacts["image"][row["dicom_sent_id"]] = np.asarray(batch["imgs"][i])
+                self._artifacts["label"][row["dicom_sent_id"]] = labels[i]
                 self._curves(row["dicom_sent_id"], overlays[i], labels[i])
         means = {k: float(np.nanmean(v)) for k, v in result.items()}
         return means

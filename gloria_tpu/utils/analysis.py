@@ -123,9 +123,24 @@ def main(argv=None) -> int:
     c.add_argument("csvs", nargs="+", help="sentences.csv files; first is the baseline")
     c.add_argument("--metrics", default="auroc,avg_precision")
     c.add_argument("--out", default=None)
+    p = sub.add_parser(
+        "plot-info",
+        help="render the per-sentence 5-panel diagnostic figures "
+             "(reference plot_info) from an EvaluateLocalization artifact dir")
+    p.add_argument("artifact_dir", help="dir holding sentences.csv + image/attn/... folders")
+    p.add_argument("--out", default=None)
+    p.add_argument("--mode", default="upsample", choices=("upsample", "pyramid", "windows"))
+    p.add_argument("--no-attn-bar", action="store_true")
+    p.add_argument("--limit", type=int, default=None)
     args = ap.parse_args(argv)
     if args.cmd == "annotations":
         analyze_annotations(args.csvs, args.out)
+    elif args.cmd == "plot-info":
+        from .viz import plot_info
+
+        written = plot_info(args.artifact_dir, args.out, args.mode,
+                            args.no_attn_bar, args.limit)
+        print(f"wrote {len(written)} sentence figures")
     else:
         compare_runs(args.csvs, tuple(args.metrics.split(",")), args.out)
     return 0

@@ -104,7 +104,9 @@ def main(cfg, args) -> dict:
     from gloria_tpu import builder
     from gloria_tpu.data import device_batch
     from gloria_tpu.data.data_module import build_data_module
-    from gloria_tpu.parallel import create_mesh, replicate, shard_batch, shard_params
+    from gloria_tpu.parallel import (
+        create_mesh, replicate, shard_batch, shard_batch_per_host, shard_params,
+    )
     from gloria_tpu.training import optim
     from gloria_tpu.training.checkpoints import CheckpointManager, load_checkpoint
     from gloria_tpu.training.tasks import ClassificationTask, SegmentationTask, build_loss, graft_pretrained
@@ -116,9 +118,16 @@ def main(cfg, args) -> dict:
             if jax.device_count() > 1 else None)
 
     def to_device(batch):
-        b = {k: jnp.asarray(v) for k, v in device_batch(batch).items()}
-        if mesh is not None:
-            b = shard_batch(b, mesh)
+        b = device_batch(batch)
+        if mesh is not None and jax.process_count() > 1:
+            # each process's loader holds only its LOCAL rows (the data module
+            # strides the dataset by process); assemble the global sharded
+            # array across hosts
+            b = shard_batch_per_host(b, mesh)
+        else:
+            b = {k: jnp.asarray(v) for k, v in b.items()}
+            if mesh is not None:
+                b = shard_batch(b, mesh)
         b.update({k: v for k, v in batch.items() if k.startswith("_")})
         return b
 

@@ -104,6 +104,38 @@ def test_prefetch_loader_full_epoch():
     assert len(batches) == 5
 
 
+def test_prefetch_loader_process_sharding():
+    """P per-process loaders with the same seed jointly reproduce the
+    single-host epoch exactly: concatenating their local batches in
+    process order equals the global batch row-for-row (the layout
+    jax.make_array_from_process_local_data assembles)."""
+
+    class Ids:
+        def __len__(self):
+            return 22
+
+        def __getitem__(self, i):
+            return i
+
+    collate = lambda items: {"ids": np.asarray(items)}  # noqa: E731
+    global_loader = PrefetchLoader(Ids(), collate, batch_size=4, seed=3,
+                                   num_workers=1, drop_last=False)
+    per_proc = [
+        PrefetchLoader(Ids(), collate, batch_size=4, seed=3, num_workers=1,
+                       drop_last=False, process_index=p, process_count=2)
+        for p in range(2)
+    ]
+    global_batches = [b["ids"] for b in global_loader]
+    local = [[b["ids"] for b in lo] for lo in per_proc]
+    assert len(local[0]) == len(local[1]) == len(global_batches)
+    for g, l0, l1 in zip(global_batches, local[0], local[1]):
+        rows = len(g) // 2  # ragged final batch truncated per-process-even
+        assert np.array_equal(np.concatenate([l0, l1]), g[: 2 * rows])
+    # indivisible global batch is rejected up front
+    with pytest.raises(ValueError):
+        PrefetchLoader(Ids(), collate, batch_size=5, process_index=0, process_count=2)
+
+
 def test_loader_propagates_worker_errors():
     class Bad:
         def __len__(self):

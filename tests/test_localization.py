@@ -73,7 +73,24 @@ def test_evaluate_localization_callback(tmp_path):
     np.testing.assert_allclose(df["local_sims"].to_numpy(), sims["local"], rtol=1e-6)
     np.testing.assert_allclose(df["global_sims"].to_numpy(), sims["global"], rtol=1e-6)
     assert (tmp_path / "test" / "attn" / "a_x.npy").exists()
+    assert (tmp_path / "test" / "label" / "a_x.npy").exists()
     assert (tmp_path / "test" / "roc_curve" / "a_x.npz").exists()
+
+    # the plot_info renderer consumes this exact artifact layout
+    # (reference visualization_utils.py:478-544 five-panel figure)
+    from gloria_tpu.utils.viz import load_localization_artifacts, plot_info
+
+    info = load_localization_artifacts(tmp_path / "test")
+    assert info["image"][0].shape == (32, 32, 3)
+    assert info["roc_curve"][0] is not None and len(info["roc_curve"][0]) == 3
+    written = plot_info(tmp_path / "test", mode="upsample", add_no_attn_bar=True)
+    assert len(written) == 3
+    for sub in ("sentence_figures", "image_with_bboxes", "attention_with_bboxes"):
+        assert (tmp_path / "test" / sub / "a_x.jpg").exists()
+    import cv2
+
+    img = cv2.imread(str(tmp_path / "test" / "image_with_bboxes" / "a_x.jpg"))
+    assert img is not None and img.shape[:2] == (32, 32)
 
 
 def test_weight_instances_callback():
