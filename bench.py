@@ -68,7 +68,7 @@ def device_peak_flops() -> float | None:
 
 
 def build(smoke: bool, batch_override: int | None = None, loss_chunk: int = 0,
-          fused: bool = False):
+          fused: bool = False, fused_bn: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -102,6 +102,8 @@ def build(smoke: bool, batch_override: int | None = None, loss_chunk: int = 0,
         batch_size = batch_override
     if fused:
         cfg.model.gloria.fused_kernel = True
+    if fused_bn:
+        cfg.set_path("model.vision.fused_bn", True)
 
     raw = make_synthetic_batch(batch_size=batch_size, num_tokens=tokens, imsize=imsize,
                                vocab_size=cfg.model.text.bert_config["vocab_size"])
@@ -151,6 +153,9 @@ def main() -> int:
     ap.add_argument("--loss-chunk", type=int, default=0)
     ap.add_argument("--fused", action="store_true",
                     help="route the local-matching sims through the Pallas kernel")
+    ap.add_argument("--fused-bn", action="store_true",
+                    help="fuse bottleneck bn2+relu+conv3+bn3-stats into one Pallas "
+                         "kernel on the image tower")
     ap.add_argument("--batch-size", type=int, default=None,
                     help="override batch size (default: 48, the reference's; "
                          "peak v5e throughput measured at 96)")
@@ -161,7 +166,7 @@ def main() -> int:
         jax.config.update("jax_platforms", "cpu")
 
     state, batch, train_step, bs = build(args.smoke, args.batch_size, args.loss_chunk,
-                                         args.fused)
+                                         args.fused, args.fused_bn)
     flops = None if (args.smoke or args.cpu_baseline) else step_flops(train_step, state, batch)
     steps = args.steps if not args.cpu_baseline else 2
     warmup = 1 if (args.cpu_baseline or args.smoke) else 3

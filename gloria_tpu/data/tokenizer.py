@@ -63,11 +63,46 @@ def _is_punctuation(ch: str) -> bool:
     return unicodedata.category(ch).startswith("P")
 
 
+def _is_control(ch: str) -> bool:
+    if ch in ("\t", "\n", "\r"):
+        return False  # treated as whitespace
+    return unicodedata.category(ch).startswith("C")
+
+
+def _is_whitespace(ch: str) -> bool:
+    if ch in (" ", "\t", "\n", "\r"):
+        return True
+    return unicodedata.category(ch) == "Zs"
+
+
+def _is_cjk(cp: int) -> bool:
+    # the CJK Unified Ideograph blocks BERT treats as standalone "words"
+    return (
+        0x4E00 <= cp <= 0x9FFF or 0x3400 <= cp <= 0x4DBF
+        or 0x20000 <= cp <= 0x2A6DF or 0x2A700 <= cp <= 0x2B73F
+        or 0x2B740 <= cp <= 0x2B81F or 0x2B820 <= cp <= 0x2CEAF
+        or 0xF900 <= cp <= 0xFAFF or 0x2F800 <= cp <= 0x2FA1F
+    )
+
+
 def basic_tokenize(text: str, lower: bool = False) -> list[str]:
-    """HF BasicTokenizer-equivalent: whitespace split then punctuation split.
+    """HF BasicTokenizer-equivalent: invalid/control-char cleanup, CJK chars
+    split out as standalone tokens, whitespace split, punctuation split.
 
     ``lower=True`` also strips accents, matching HF's coupling of
     ``strip_accents`` to ``do_lower_case`` (BertTokenizer default)."""
+    cleaned = []
+    for ch in text:
+        cp = ord(ch)
+        if cp == 0 or cp == 0xFFFD or _is_control(ch):
+            continue  # NUL / replacement / control & format chars vanish
+        if _is_cjk(cp):
+            cleaned.append(f" {ch} ")  # each ideograph is its own word
+        elif _is_whitespace(ch):
+            cleaned.append(" ")
+        else:
+            cleaned.append(ch)
+    text = "".join(cleaned)
     if lower:
         text = unicodedata.normalize("NFD", text.lower())
         text = "".join(ch for ch in text if unicodedata.category(ch) != "Mn")

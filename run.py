@@ -50,6 +50,9 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--limit_batches", type=int, default=None, help="cap batches/epoch (debug)")
     p.add_argument("--fused_kernel", action="store_true",
                    help="route the O(B²) local-matching sims through the Pallas kernel")
+    p.add_argument("--fused_bn", action="store_true",
+                   help="fuse bottleneck bn2+relu+conv3+bn3-stats into one Pallas "
+                        "kernel on the image tower's train path")
     p.add_argument("--fsdp", type=int, default=1)
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel degree over the transformer towers")
@@ -90,6 +93,8 @@ def apply_overrides(cfg, args) -> None:
         cfg.set_path("model.gloria.no_attn_vec", True)
     if args.fused_kernel:
         cfg.set_path("model.gloria.fused_kernel", True)
+    if args.fused_bn:
+        cfg.set_path("model.vision.fused_bn", True)
     for key in ("no_attn_loss_weight", "attention_divergence_loss_weight",
                 "attention_entropy_loss_weight", "segmentation_loss_weight"):
         value = getattr(args, key)

@@ -78,23 +78,28 @@ class _TorchBottleneck(torch.nn.Module):
 
 
 class _TorchMiniResNet(torch.nn.Module):
-    """torchvision-topology ResNet with (1,1,1,1) bottleneck blocks."""
+    """torchvision-topology ResNet with bottleneck blocks; ``layers=(3,4,6,3)``
+    reproduces the full resnet50 topology (reference zoo backbone,
+    ``gloria/models/cnn_backbones.py``)."""
 
-    def __init__(self):
+    def __init__(self, layers=(1, 1, 1, 1)):
         super().__init__()
         self.conv1 = torch.nn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
         self.bn1 = torch.nn.BatchNorm2d(64)
         self.relu = torch.nn.ReLU()
         self.maxpool = torch.nn.MaxPool2d(3, stride=2, padding=1)
         inplanes = 64
-        for i, planes in enumerate([64, 128, 256, 512]):
+        for i, (planes, n_blocks) in enumerate(zip([64, 128, 256, 512], layers)):
             stride = 1 if i == 0 else 2
             down = torch.nn.Sequential(
                 torch.nn.Conv2d(inplanes, planes * 4, 1, stride=stride, bias=False),
                 torch.nn.BatchNorm2d(planes * 4),
             )
-            setattr(self, f"layer{i+1}", torch.nn.Sequential(_TorchBottleneck(inplanes, planes, stride, down)))
+            blocks = [_TorchBottleneck(inplanes, planes, stride, down)]
             inplanes = planes * 4
+            for _ in range(n_blocks - 1):
+                blocks.append(_TorchBottleneck(inplanes, planes))
+            setattr(self, f"layer{i+1}", torch.nn.Sequential(*blocks))
 
     def forward(self, x):
         x = self.maxpool(self.relu(self.bn1(self.conv1(x))))

@@ -103,6 +103,58 @@ def test_tokenizer_matches_hf_bert(tmp_path):
         assert enc_ours["attention_mask"].tolist() == enc_hf["attention_mask"], text
 
 
+def test_tokenizer_matches_hf_on_adversarial_corpus(tmp_path):
+    """Corner cases the synthetic grammar vocab never forces: accents and
+    exotic unicode, CJK ideographs, ``[unused]`` vocab entries, words longer
+    than ``max_input_chars_per_word``, punctuation runs, control/zero-width
+    characters, and never-in-vocab codepoints (the real BioClinicalBERT
+    28,996-token vocab exercises all of these — gloria_model.py:70-77)."""
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+    vocab += [f"[unused{i}]" for i in range(4)]
+    words = ["lung", "edema", "effusion", "cafe", "uber", "naive", "no", "acute",
+             "pneumo", "##thorax", "##nia", "x", "##x", "q", "##q"]
+    cjk = ["肺", "水", "肿"]
+    chars = sorted({c for w in words for c in w.lstrip("#")})
+    vocab += words + cjk + chars + ["##" + c for c in chars]
+    vocab += list("[]().,;:-/+%") + ["##" + p for p in "[]().,"]
+    seen, uniq = set(), []
+    for t in vocab:
+        if t not in seen:
+            seen.add(t)
+            uniq.append(t)
+    vocab_file = tmp_path / "vocab_adv.txt"
+    vocab_file.write_text("\n".join(uniq) + "\n")
+
+    hf = transformers.BertTokenizer(vocab_file=str(vocab_file), do_lower_case=True)
+    ours = WordPieceTokenizer.from_vocab_file(vocab_file, lower=True)
+
+    corpus = [
+        "café über naïve œdema",                 # accents strip under lowercase
+        "Crème brûlée effusion",                  # Mn marks + never-in-vocab chars
+        "肺水肿 with edema",                      # CJK: one token per ideograph
+        "肺edema水",                              # CJK splits mid-word
+        "[unused1] lung [unused2]",               # bracket tokens punct-split
+        "edema" + "q" * 150,                      # > max_input_chars_per_word
+        "(((no;;;acute)))---edema",               # punctuation runs
+        "lung​edema",                        # zero-width space (Cf) vanishes
+        "lu\x07ng edema",                         # control char inside a word
+        "\x00edema�lung",                    # NUL + replacement char
+        "ед ema edema",                           # cyrillic → [UNK] path
+        "𝕃ung edema",                             # astral-plane letter
+        "effusion edema",                    # NBSP is whitespace (Zs)
+        "pneumothorax pneumonia pneumoq",         # greedy longest-match chains
+        "",                                       # empty string
+        "   \t\n  ",                              # whitespace only
+        "........",                               # only punctuation
+    ]
+    for text in corpus:
+        assert ours.tokenize(text) == hf.tokenize(text), repr(text)
+        enc_hf = hf(text, max_length=24, padding="max_length", truncation=True)
+        enc_ours = ours.encode(text, max_length=24)
+        assert enc_ours["input_ids"].tolist() == enc_hf["input_ids"], repr(text)
+        assert enc_ours["attention_mask"].tolist() == enc_hf["attention_mask"], repr(text)
+
+
 # ---------------------------------------------------------------------------
 # full zero-shot protocol: identical rank metrics in torch and gloria_tpu
 # ---------------------------------------------------------------------------
