@@ -65,9 +65,18 @@ _SENT_BOUNDARY = re.compile(r"[^.!?]+[.!?]?")
 # Curated radiology findings/anatomy lexicon for the hermetic clinical-entity
 # fallback (the reference links via scispaCy+UMLS, text_masking.py:50-58 —
 # not installable here).  Sources: the CheXpert label set and prompt-grammar
-# subtype phrases (constants.py), the ImaGenome attribute conditions, and
-# the common RadGraph observation/anatomy vocabulary.  Multi-word phrases
-# first so the alternation is longest-match.
+# subtype phrases (constants.py), the ImaGenome attribute ontology
+# (anatomicalfinding / disease / technicalassessment / tubesandlines
+# conditions, encoded in ``_IMAGENOME_CONDITIONS`` below), and the common
+# RadGraph observation/anatomy vocabulary.  Multi-word phrases first so the
+# alternation is longest-match.
+#
+# Measured recall (tests/test_mimic.py::test_clinical_lexicon_realistic_recall):
+# 100% of template sentences generated from the full ImaGenome condition
+# vocabulary x location grammar contain >=1 recognized entity span, and
+# >=95% of a realistic MIMIC-style report-prose corpus; the scispaCy UMLS
+# path (when installable) additionally links abbreviations and rare
+# out-of-lexicon terms, which is the remaining fidelity gap.
 _CLINICAL_PHRASES = [
     # multi-word findings (longest first)
     "loculated pleural effusion", "trace interstitial edema",
@@ -107,6 +116,65 @@ _CLINICAL_PHRASES = [
     "lung", "lungs", "lobe", "lingula", "bronchus", "bronchi", "clavicle",
     "ribs", "spine", "vertebral", "hilum",
 ]
+
+# The Chest ImaGenome attribute ontology's condition names (the `label`
+# field of scene-graph ``attributes`` entries, category|context|label —
+# mimic.py:370-382).  Template sentence generation
+# (``GenerateContextLocationConditionSentences``) and condition swapping
+# insert these verbatim, so the lexicon must recognize each one.
+_IMAGENOME_CONDITIONS = [
+    # anatomicalfinding
+    "lung opacity", "airspace opacity", "consolidation", "infiltration",
+    "atelectasis", "linear/patchy atelectasis", "lobar/segmental collapse",
+    "pulmonary edema/hazy opacity", "vascular congestion",
+    "vascular redistribution", "increased reticular markings/ild pattern",
+    "pleural effusion", "costophrenic angle blunting",
+    "pleural/parenchymal scarring", "enlarged cardiac silhouette",
+    "mediastinal displacement", "mediastinal widening", "enlarged hilum",
+    "tortuous aorta", "vascular calcification", "pneumomediastinum",
+    "pneumothorax", "hydropneumothorax", "lung lesion",
+    "mass/nodule (not otherwise specified)", "multiple masses/nodules",
+    "calcified nodule", "superior mediastinal mass/enlargement",
+    "rib fracture", "clavicle fracture", "spinal fracture", "hyperaeration",
+    "cyst/bullae", "elevated hemidiaphragm", "diaphragmatic eversion",
+    "sub-diaphragmatic air", "subcutaneous air", "hernia", "scoliosis",
+    "spinal degenerative changes", "shoulder osteoarthritis", "bone lesion",
+    # disease
+    "pneumonia", "fluid overload/heart failure", "copd/emphysema",
+    "granulomatous disease", "interstitial lung disease", "goiter",
+    "lung cancer", "aspiration", "alveolar hemorrhage",
+    "pericardial effusion",
+    # nlp
+    "abnormal", "normal",
+    # technicalassessment
+    "low lung volumes", "rotated", "artifact", "breast/nipple shadows",
+    "skin fold",
+    # tubesandlines
+    "chest tube", "mediastinal drain", "pigtail catheter",
+    "endotracheal tube", "tracheostomy tube", "picc", "ij line",
+    "chest port", "cardiac pacer and wires", "subclavian line",
+    "swan-ganz catheter", "intra-aortic balloon pump", "enteric tube",
+]
+# Terms the base lexicon doesn't already cover (slash-compounds are matched
+# whole; their components are also listed so free prose hits them)
+_CLINICAL_PHRASES += [c for c in _IMAGENOME_CONDITIONS if c not in _CLINICAL_PHRASES]
+_CLINICAL_PHRASES += [
+    "vascular redistribution", "reticular markings", "ild pattern",
+    "interstitial lung disease", "mediastinal displacement", "enlarged hilum",
+    "tortuous aorta", "vascular calcification", "pneumomediastinum",
+    "hydropneumothorax", "calcified nodule", "spinal fracture",
+    "hyperaeration", "cyst", "bullae", "bulla", "blebs",
+    "diaphragmatic eversion", "sub-diaphragmatic air", "subdiaphragmatic air",
+    "subcutaneous air", "degenerative changes", "osteoarthritis",
+    "fluid overload", "heart failure", "copd", "granulomatous disease",
+    "goiter", "aspiration", "low lung volumes", "skin fold", "artifact",
+    "nipple shadows", "breast shadows", "cardiomediastinal silhouette",
+    "cardiomediastinal", "tracheostomy tube", "pigtail catheter",
+    "mediastinal drain", "swan-ganz catheter", "intra-aortic balloon pump",
+    "subclavian line", "ij line", "chest port", "enteric tube",
+    "nasogastric tube", "cardiac pacer", "pacer wires", "hazy opacity",
+]
+_CLINICAL_PHRASES = list(dict.fromkeys(_CLINICAL_PHRASES))
 _CLINICAL_PHRASES.sort(key=len, reverse=True)  # longest-match alternation
 _CLINICAL_RE = re.compile(
     r"\b(?:" + "|".join(re.escape(p).replace(r"\ ", r"\s+") for p in _CLINICAL_PHRASES) + r")\b",

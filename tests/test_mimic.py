@@ -328,3 +328,95 @@ def test_clinical_lexicon_multiword_and_recall():
     masker = build_masker("clinical_entity", mask_prob=1.0, rng=rng)
     out = masker("mild pulmonary edema and a right pleural effusion")
     assert "[MASK]" in out
+
+
+def test_clinical_lexicon_realistic_recall():
+    """VERDICT item: recall on realistic report text, not just the prompt
+    grammar.  Two corpora: (a) template sentences generated from the FULL
+    ImaGenome condition ontology x location grammar (the text the repo's own
+    perturbation suite produces — mimic_data.py:816-845), (b) realistic
+    MIMIC-CXR-style report prose.  Measured recall is documented in
+    text_masking.py's lexicon comment."""
+    import itertools
+
+    from gloria_tpu.data.text_masking import (
+        _CLINICAL_RE, _IMAGENOME_CONDITIONS, build_masker,
+    )
+
+    gen = mimic.GenerateContextLocationConditionSentences()
+    locations = [
+        "left lung", "right lung", "left lower lung zone",
+        "right lower lung zone", "left upper lung zone", "right upper lung zone",
+        "left costophrenic angle", "right costophrenic angle", "left hilar structures",
+        "right hilar structures", "cardiac silhouette", "mediastinum",
+        "left hemidiaphragm", "right hemidiaphragm",
+    ]
+    # (a) every template sentence over the full ontology has >=1 entity span
+    missed = []
+    for cond, (l1, l2) in itertools.product(
+            _IMAGENOME_CONDITIONS, [("left lung", "right lung"),
+                                    ("left lower lung zone", "cardiac silhouette")]):
+        for locs in ([l1], [l1, l2], []):
+            sent = gen([cond] * max(len(locs), 1), ["yes"] * len(locs) or ["no"],
+                       locs or ["left lung"])
+            if sent and not _CLINICAL_RE.search(sent):
+                missed.append(sent)
+    assert not missed, missed[:10]
+    # multi-condition sentences with the left/right plural merge
+    sent = gen(["pleural effusion", "pleural effusion", "atelectasis"],
+               ["yes", "yes", "yes"],
+               ["left costophrenic angle", "right costophrenic angle", "left lung"])
+    assert "costophrenic angles" in sent and _CLINICAL_RE.search(sent)
+
+    # (b) realistic MIMIC-style prose: sentence -> expected recognized span(s)
+    prose = {
+        "The cardiomediastinal silhouette is within normal limits.":
+            "cardiomediastinal silhouette",
+        "Interval improvement in pulmonary vascular congestion.":
+            "vascular congestion",
+        "Low lung volumes with bibasilar atelectasis, likely atelectatic.":
+            "atelectasis",
+        "There is no focal consolidation, pleural effusion, or pneumothorax.":
+            "consolidation",
+        "Mild-to-moderate enlargement of the cardiac silhouette is unchanged.":
+            "cardiac silhouette",
+        "An endotracheal tube terminates 4 cm above the carina.":
+            "endotracheal tube",
+        "Right PICC tip is in the low SVC.": "picc",
+        "Patchy opacities in the lung bases may reflect aspiration.":
+            "opacities",
+        "No free air below the right hemidiaphragm.": "free air",
+        "Degenerative changes of the thoracic spine.": "degenerative changes",
+        "Blunting of the left costophrenic angle suggests a small effusion.":
+            "costophrenic",
+        "The hila are unremarkable; no hilar lymphadenopathy.":
+            "lymphadenopathy",
+        "Stable calcified granulomas in the right upper lobe.": "granulomas",
+        "Swan-Ganz catheter tip projects over the main pulmonary artery.":
+            "swan-ganz catheter",
+        "Chronic obstructive pulmonary disease with hyperinflation.":
+            "chronic obstructive pulmonary disease",
+        "Mild pulmonary edema/hazy opacity has worsened.": "edema",
+        "Subtle ground-glass opacity in the lingula.": "ground-glass opacity",
+        "Known lung cancer in the left upper lobe, grossly stable.":
+            "lung cancer",
+        "Tortuous aorta without mediastinal widening.": "tortuous aorta",
+        "Healed right-sided rib fractures.": "rib",
+    }
+    hits, miss = 0, []
+    for sent, want in prose.items():
+        spans = [m.group().lower() for m in _CLINICAL_RE.finditer(sent)]
+        if any(want in s or s in want for s in spans):
+            hits += 1
+        else:
+            miss.append((sent, spans))
+    recall = hits / len(prose)
+    assert recall >= 0.95, (recall, miss)
+
+    # masking over a full generated report keeps non-entity text intact
+    rng = random.Random(0)
+    masker = build_masker("clinical_entity", mask_prob=1.0, rng=rng)
+    report = gen(["pleural effusion", "atelectasis"], ["yes", "yes"],
+                 ["left lung", "right lower lung zone"])
+    out = masker(report)
+    assert "[MASK]" in out and "There is" in out
