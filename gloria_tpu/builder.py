@@ -67,10 +67,35 @@ def build_scheduler(cfg: Config) -> optim.LRScheduler:
     return optim.make_scheduler(cfg)
 
 
+def default_loss_chunk(cfg: Config) -> int:
+    """Batch-keyed default for the O(B²) pairwise-loss execution strategy
+    (measured on TPU v5e, docs/DESIGN.md):
+
+    - B ≤ 128: unchunked no-remat is fastest (B=48: 638 vs 625 pairs/s
+      chunked; B=96: 576 unchunked) and fits HBM.
+    - B > 128: the unchunked [T,B,S,W] intermediates exceed HBM (B=192
+      measured OOM); text-chunked ``lax.scan`` + remat at chunk=8 is the
+      fastest measured big-batch strategy (400 pairs/s at B=192 vs the
+      Pallas train kernel, which loses at B=96 and fails to compile at
+      B=192 — DESIGN.md round-3 table).
+
+    ``cfg.train.loss_chunk`` pins the strategy explicitly.
+    """
+    pinned = cfg.train.loss_chunk if cfg.train else None
+    if pinned is not None:
+        return int(pinned)
+    bs = (cfg.train.batch_size if cfg.train else None) or 0
+    return 0 if bs <= 128 else 8
+
+
 def init_gloria(cfg: Config, batch: dict, seed: int = 0, dtype=jnp.float32,
-                return_attn: bool = False, loss_chunk: int = 0):
+                return_attn: bool = False, loss_chunk: int | None = None):
     """Initialize model + optimizer + train state from an example batch.
-    Returns (model, state, train_step, eval_step)."""
+    Returns (model, state, train_step, eval_step).
+
+    ``loss_chunk=None`` → batch-keyed auto policy (``default_loss_chunk``)."""
+    if loss_chunk is None:
+        loss_chunk = default_loss_chunk(cfg)
     model = build_gloria_model(cfg, dtype=dtype)
     model_batch = {k: jnp.asarray(v) for k, v in batch.items() if k != "cap_lens" and k != "segmentation_labels"}
     variables = model.init(jax.random.PRNGKey(seed), model_batch)

@@ -195,9 +195,18 @@ def _bwd_kernel(words_ref, ctx_ref, mask_ref, g_ref,
         ctx, gram, words, wvec, temp1=temp1, s_valid=s_valid)
     sims, row_sim, e = _sims_from_tile(dot, cn2, wn, wvec, temp2=temp2, agg=agg)
 
-    # upstream for this cell: rows [i·TB, (i+1)·TB), columns [j·TT, (j+1)·TT)
-    Tp = g_ref.shape[1]
-    g_rows = g_ref[pl.ds(i * tile_b, tile_b), :]                # [TB, Tp]
+    # upstream for this cell: rows [i·TB, (i+1)·TB), columns [j·TT, (j+1)·TT).
+    # Row selection is a one-hot matmul, not pl.ds: tile_b=4 starts are not
+    # 8-sublane-aligned, and at Tp>128 Mosaic rejects the dynamic slice
+    # ("cannot statically prove that index in dimension 0 is a multiple of 8").
+    Bp, Tp = g_ref.shape
+    rcol = jax.lax.broadcasted_iota(jnp.int32, (tile_b, Bp), 1)
+    rrow = jax.lax.broadcasted_iota(jnp.int32, (tile_b, Bp), 0)
+    rowsel = (rcol == i * tile_b + rrow).astype(jnp.float32)    # [TB, Bp]
+    g_rows = jax.lax.dot_general(  # [TB, Tp]
+        rowsel, g_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
     col = jax.lax.broadcasted_iota(jnp.int32, (tile_t, Tp), 1)
     row = jax.lax.broadcasted_iota(jnp.int32, (tile_t, Tp), 0)
     onehot = (col == j * tile_t + row).astype(jnp.float32)      # [TT, Tp]

@@ -50,6 +50,9 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--limit_batches", type=int, default=None, help="cap batches/epoch (debug)")
     p.add_argument("--fused_kernel", action="store_true",
                    help="route the O(B²) local-matching sims through the Pallas kernel")
+    p.add_argument("--loss_chunk", type=int, default=None,
+                   help="text-chunk size for the O(B²) pairwise loss (scan+remat); "
+                        "default: batch-keyed auto (unchunked ≤128, chunk=8 above)")
     p.add_argument("--fused_bn", action="store_true",
                    help="fuse bottleneck bn2+relu+conv3+bn3-stats into one Pallas "
                         "kernel on the image tower's train path")
@@ -93,6 +96,8 @@ def apply_overrides(cfg, args) -> None:
         cfg.set_path("model.gloria.no_attn_vec", True)
     if args.fused_kernel:
         cfg.set_path("model.gloria.fused_kernel", True)
+    if args.loss_chunk is not None:
+        cfg.set_path("train.loss_chunk", args.loss_chunk)
     if args.fused_bn:
         cfg.set_path("model.vision.fused_bn", True)
     for key in ("no_attn_loss_weight", "attention_divergence_loss_weight",

@@ -25,21 +25,24 @@ from _timing import timeit_ms
 
 
 def measure_bandwidth():
-    """Streaming triad d = a*2 + b (reads 2 arrays, writes 1) at sizes that
-    dwarf any cache; returns best GB/s."""
+    """Streaming triad c = c*2 + b (reads 2 arrays, writes 1) iterated K
+    times inside ONE jitted fori_loop — a single dispatch, so the remote
+    tunnel's per-call latency doesn't pollute the measurement (docs/DESIGN.md
+    "measurement trap").  Returns best GB/s."""
     best = 0.0
-    for mb in (256, 512, 1024):
+    K = 50
+    for mb in (256, 1024):
         n = mb * 1024 * 1024 // 4
-        a = jnp.ones((n,), jnp.float32)
-        b = jnp.ones((n,), jnp.float32)
+        c0 = jnp.ones((n,), jnp.float32)
+        b = jnp.full((n,), 0.5, jnp.float32)
 
         @jax.jit
-        def triad(x, y):
-            return x * 2.0 + y
+        def triad_k(c, y):
+            return jax.lax.fori_loop(0, K, lambda i, acc: acc * 0.99 + y, c)
 
-        ms = timeit_ms(triad, (a, b), steps=10, sink=lambda o: o[0])
+        ms = timeit_ms(triad_k, (c0, b), steps=3, sink=lambda o: o[0]) / K
         gbs = 3 * n * 4 / (ms / 1000) / 1e9
-        print(f"triad {mb} MB/array: {ms:.3f} ms -> {gbs:.0f} GB/s")
+        print(f"triad {mb} MB/array x{K} in-jit: {ms:.3f} ms/iter -> {gbs:.0f} GB/s")
         best = max(best, gbs)
     return best
 
@@ -70,14 +73,15 @@ def main():
                              for k, v in byte_keys.items()})
     bytes_accessed = float(ca.get("bytes accessed", 0))
 
-    # measured step time (median of 3x20, value-materialized)
-    state2, m = train_step(state, batch)
+    # measured step time (median of 3x20, value-materialized).  train_step
+    # donates state, so thread st continuously — never rewind to a donated
+    # buffer.
+    st, m = train_step(state, batch)
     float(m["loss"])
     times = []
     for _ in range(3):
         acc = []
         t0 = time.perf_counter()
-        st = state2
         for _ in range(20):
             st, m = train_step(st, batch)
             acc.append(m["loss"])
@@ -85,7 +89,6 @@ def main():
         times.append((time.perf_counter() - t0) / 20 * 1000)
     times.sort()
     step_ms = times[1]
-    del state2
 
     bw = measure_bandwidth()
     peak_tf = 197.0  # v5e bf16
