@@ -4,13 +4,22 @@ The framework's own hot spot (SURVEY §7, reference ``gloria_loss.py:116-162``)
 is the batch-pairwise local loss: every caption attends to every image, so at
 fixed PER-CHIP batch b the global batch B = b·n grows with device count n and
 the per-chip loss cost grows ~linearly with n while the tower cost stays
-flat.  This script measures that, with XLA's own cost model, on a virtual
-CPU mesh — compile-only, no execution, so it runs anywhere:
+flat.
 
-  for n in {1, 2, 4, 8}:  global B = 48·n, mesh data=n
-      compile the sharded train step -> per-chip FLOPs (SPMD module)
-      compile the towers-only step   -> per-chip FLOPs without the loss
-      loss share = 1 - towers/total
+Measuring this directly from the SPMD-partitioned module's
+``cost_analysis()`` is unreliable: per-partition vs global FLOP reporting
+differs between programs, and the chunked loss lives inside a ``lax.scan``
+whose body XLA costs ONCE regardless of trip count.  So instead this script
+compiles the UNCHUNKED single-device step at several global batch sizes
+(compile-only, runs anywhere), fits
+
+    F(B) = c0 + c1·B + c2·B²        (towers linear, pairwise loss quadratic)
+
+and derives the per-chip weak-scaling table analytically:
+
+    towers/chip  = c1·b            (flat in n)
+    loss/chip    = c2·(b·n)²/n = c2·b²·n   (linear in n)
+    crossover    n* = c1/(c2·b)
 
 Prints the table recorded in docs/MULTIHOST.md ("Weak scaling of the
 pairwise loss").
@@ -21,7 +30,6 @@ pairwise loss").
 from __future__ import annotations
 
 import argparse
-import os
 import sys
 from pathlib import Path
 
@@ -31,18 +39,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--per-chip", type=int, default=48)
-    ap.add_argument("--devices", type=int, nargs="*", default=[1, 2, 4, 8])
+    ap.add_argument("--devices", type=int, nargs="*", default=[1, 2, 4, 8, 16, 32])
+    ap.add_argument("--fit-batches", type=int, nargs="*", default=[24, 48, 96, 192])
     ap.add_argument("--tokens", type=int, default=97)
     ap.add_argument("--imsize", type=int, default=64)
-    ap.add_argument("--chunk", type=int, default=48)
     args = ap.parse_args()
-
-    n_max = max(args.devices)
-    flags = os.environ.get("XLA_FLAGS", "")
-    if "xla_force_host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (
-            flags + f" --xla_force_host_platform_device_count={n_max}"
-        ).strip()
 
     import jax
     import jax.numpy as jnp
@@ -51,10 +52,8 @@ def main():
 
     from gloria_tpu.builder import default_pretrain_config, init_gloria
     from gloria_tpu.data.synthetic import make_synthetic_batch
-    from gloria_tpu.parallel import mesh as meshlib
 
-    def per_chip_flops(n: int) -> tuple[float, float]:
-        B = args.per_chip * n
+    def total_flops(B: int) -> float:
         cfg = default_pretrain_config()
         cfg.model.vision.model_name = "resnet_50"
         cfg.set_path("model.vision.encoder_input_size", 0)
@@ -66,78 +65,49 @@ def main():
         }
         raw = make_synthetic_batch(batch_size=B, num_tokens=args.tokens,
                                    imsize=args.imsize, vocab_size=28996)
-        mesh = meshlib.create_mesh(
-            n_devices=n, fsdp=1, tp=1,
-            devices=jax.devices()[:n])
-        with mesh:
-            model, state, train_step, _ = init_gloria(
-                cfg, raw, dtype=jnp.float32, loss_chunk=args.chunk)
-            state = state.replace(
-                params=meshlib.shard_params(state.params, mesh),
-                batch_stats=meshlib.replicate(state.batch_stats, mesh),
-                opt_state=meshlib.shard_params(state.opt_state, mesh),
-            )
-            batch = meshlib.shard_batch(
-                {k: jnp.asarray(v) for k, v in raw.items()}, mesh)
-            comp = train_step.lower(state, batch).compile()
-            ca = comp.cost_analysis()
-            if isinstance(ca, (list, tuple)):
-                ca = ca[0]
-            total = float(ca.get("flops", 0))
+        # loss_chunk=0 -> UNCHUNKED: no scan, so cost_analysis sees every
+        # loss FLOP (compile-only; the [B,B,T,R] intermediate is never
+        # materialized on a device).
+        model, state, train_step, _ = init_gloria(
+            cfg, raw, dtype=jnp.float32, loss_chunk=0)
+        batch = {k: jnp.asarray(v) for k, v in raw.items()}
+        ca = train_step.lower(state, batch).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0))
 
-            # towers-only: same program with the pairwise-loss weights zeroed
-            # is still traced through the loss, so instead cost the towers
-            # directly: forward+backward of both encoders under the same
-            # sharding, no similarity term.
-            import gloria_tpu.training.train as trainlib
+    import numpy as np
 
-            def towers_loss(params, st):
-                out = model.apply(
-                    {"params": params, "batch_stats": st.batch_stats},
-                    {k: v for k, v in batch.items()
-                     if k not in ("cap_lens", "segmentation_labels")},
-                    train=True, mutable=["batch_stats"],
-                    rngs={"dropout": jax.random.PRNGKey(0)},
-                )
-                (img_l, img_g, txt_l, txt_g, *_), _ = out
-                return (jnp.sum(img_l.astype(jnp.float32) ** 2)
-                        + jnp.sum(img_g.astype(jnp.float32) ** 2)
-                        + jnp.sum(txt_l.astype(jnp.float32) ** 2)
-                        + jnp.sum(txt_g.astype(jnp.float32) ** 2))
+    print(f"fit batches {args.fit_batches}, tokens {args.tokens}, "
+          f"imsize {args.imsize} (no 299 upsample), unchunked loss")
+    Bs, Fs = [], []
+    for B in args.fit_batches:
+        f = total_flops(B)
+        Bs.append(B)
+        Fs.append(f)
+        print(f"  B={B:>4}: {f/1e12:.3f} TF")
 
-            towers_step = jax.jit(jax.grad(towers_loss), static_argnums=())
-            ca_t = towers_step.lower(state.params, state).compile().cost_analysis()
-            if isinstance(ca_t, (list, tuple)):
-                ca_t = ca_t[0]
-            towers = float(ca_t.get("flops", 0))
-        return total, towers
+    # F(B) = c0 + c1*B + c2*B^2
+    c2, c1, c0 = np.polyfit(np.array(Bs, float), np.array(Fs, float), 2)
+    resid = np.polyval([c2, c1, c0], Bs) - np.array(Fs)
+    rel = float(np.max(np.abs(resid)) / np.max(Fs))
+    print(f"fit: F(B) = {c0/1e9:.2f} GF + {c1/1e9:.3f} GF·B + "
+          f"{c2/1e6:.3f} MF·B²   (max rel. residual {rel:.2%})")
 
-    print(f"per-chip batch {args.per_chip}, tokens {args.tokens}, "
-          f"imsize {args.imsize} (no 299 upsample), chunk {args.chunk}")
-    print(f"{'n':>3} {'B':>5} {'total TF/chip':>14} {'towers TF/chip':>15} "
-          f"{'loss TF/chip':>13} {'loss share':>10}")
-    rows = []
+    b = args.per_chip
+    towers = c1 * b + c0  # per-chip, flat in n
+    print(f"\nper-chip batch {b}: towers/chip = {towers/1e12:.3f} TF (flat)")
+    print(f"{'n':>3} {'B':>5} {'loss TF/chip':>13} {'total TF/chip':>14} "
+          f"{'loss share':>10}")
     for n in args.devices:
-        total, towers = per_chip_flops(n)
-        loss = max(total - towers, 0.0)
-        rows.append((n, args.per_chip * n, total, towers, loss))
-        print(f"{n:>3} {args.per_chip * n:>5} {total/1e12:>14.3f} "
-              f"{towers/1e12:>15.3f} {loss/1e12:>13.3f} {loss/total:>9.1%}")
+        loss = c2 * (b * n) ** 2 / n
+        total = towers + loss
+        print(f"{n:>3} {b * n:>5} {loss/1e12:>13.3f} {total/1e12:>14.3f} "
+              f"{loss/total:>9.1%}")
 
-    # linear-fit loss(n) = a + b·n -> device count where loss = towers
-    if len(rows) >= 2:
-        import numpy as np
-
-        ns = np.array([r[0] for r in rows], float)
-        losses = np.array([r[4] for r in rows], float)
-        towers = float(np.median([r[3] for r in rows]))
-        b, a = np.polyfit(ns, losses, 1)
-        if b > 0:
-            n_cross = (towers - a) / b
-            print(f"\nloss/chip ≈ {a/1e12:.3f} + {b/1e12:.3f}·n TF; towers "
-                  f"≈ {towers/1e12:.3f} TF -> loss overtakes the towers at "
-                  f"n ≈ {n_cross:.0f} devices (global B ≈ "
-                  f"{args.per_chip * n_cross:.0f})")
+    n_cross = c1 / (c2 * b) if c2 > 0 else float("inf")
+    print(f"\nloss/chip = towers/chip at n* ≈ {n_cross:.0f} devices "
+          f"(global B ≈ {b * n_cross:.0f})")
 
 
 if __name__ == "__main__":
