@@ -68,7 +68,8 @@ def device_peak_flops() -> float | None:
 
 
 def build(smoke: bool, batch_override: int | None = None, loss_chunk: int = 0,
-          fused: bool = False, fused_bn: bool = False):
+          fused: bool = False, fused_bn: bool = False, flatten_opt: bool = False,
+          input_size: int | None = None):
     import jax
     import jax.numpy as jnp
 
@@ -104,6 +105,10 @@ def build(smoke: bool, batch_override: int | None = None, loss_chunk: int = 0,
         cfg.model.gloria.fused_kernel = True
     if fused_bn:
         cfg.set_path("model.vision.fused_bn", True)
+    if flatten_opt:
+        cfg.set_path("train.flatten_optimizer", True)
+    if input_size:
+        cfg.set_path("model.vision.encoder_input_size", input_size)
 
     raw = make_synthetic_batch(batch_size=batch_size, num_tokens=tokens, imsize=imsize,
                                vocab_size=cfg.model.text.bert_config["vocab_size"])
@@ -159,6 +164,13 @@ def main() -> int:
     ap.add_argument("--batch-size", type=int, default=None,
                     help="override batch size (default: 48, the reference's; "
                          "peak v5e throughput measured at 96)")
+    ap.add_argument("--flatten-opt", action="store_true",
+                    help="run the optimizer elementwise math over one raveled "
+                         "vector (optax.flatten) instead of ~320 per-leaf kernels")
+    ap.add_argument("--input-size", type=int, default=None,
+                    help="override the encoder upsample size (reference: 299; "
+                         "304 keeps the 19x19 attention grid on tile-aligned "
+                         "spatial dims; 224 skips the upsample, 14x14 grid)")
     args = ap.parse_args()
 
     if args.cpu_baseline:
@@ -166,7 +178,8 @@ def main() -> int:
         jax.config.update("jax_platforms", "cpu")
 
     state, batch, train_step, bs = build(args.smoke, args.batch_size, args.loss_chunk,
-                                         args.fused, args.fused_bn)
+                                         args.fused, args.fused_bn, args.flatten_opt,
+                                         args.input_size)
     flops = None if (args.smoke or args.cpu_baseline) else step_flops(train_step, state, batch)
     steps = args.steps if not args.cpu_baseline else 2
     warmup = 1 if (args.cpu_baseline or args.smoke) else 3

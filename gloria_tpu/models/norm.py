@@ -44,6 +44,16 @@ class SplitBatchNorm(nn.Module):
             features = sums[0].shape[-1]
         else:
             features = x.shape[-1]
+            # Flatten leading dims: all stats/apply math (and its autodiff)
+            # runs on the [N, C] view.  The reshape is a free bitcast
+            # (row-major, C minor), but it changes how Mosaic tiles the
+            # batch-stat and d(scale)/d(bias) reductions — the 4-D
+            # reduce over (0,1,2) at e.g. [48,150,150,64] measures 2.2x
+            # slower than the identical bytes reduced as [1.08M, 64]
+            # (scripts/bench_bn_reduce.py, v5e).
+            orig_shape = x.shape
+            if x.ndim > 2:
+                x = x.reshape(-1, features)
         scale = self.param("scale", nn.initializers.ones_init(), (features,),
                            self.param_dtype)
         bias = self.param("bias", nn.initializers.zeros_init(), (features,),
@@ -78,4 +88,4 @@ class SplitBatchNorm(nn.Module):
             return mul, bias - mean * mul
         y = (x.astype(jnp.float32) - mean) * mul + bias
         out_dtype = self.dtype or jnp.promote_types(x.dtype, jnp.float32)
-        return jnp.asarray(y, out_dtype)
+        return jnp.asarray(y, out_dtype).reshape(orig_shape)

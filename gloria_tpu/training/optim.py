@@ -85,6 +85,18 @@ def make_optimizer(cfg: Config, grad_clip: float | None = None) -> optax.Gradien
     skip_nonfinite = (cfg.train.skip_nonfinite_grads
                       if cfg.train and cfg.train.skip_nonfinite_grads is not None
                       else True)
+    # optax.flatten: run the elementwise optimizer math over ONE raveled
+    # vector instead of ~300 per-leaf kernels.  The flagship tree has ~50M
+    # params in ~320 leaves; per-leaf lowering leaves XLA hundreds of small
+    # fused loops whose launch + tiling overhead dominates the moment math
+    # (measured on v5e at B=48: see DESIGN.md round-3 optimizer section).
+    # Trade-off: the optimizer state stores flat [N] moment vectors, so
+    # checkpoints carry the same bytes but not per-parameter names; torch
+    # export of optimizer moments is unaffected (it exports params, not
+    # moments).  Disable with ``cfg.train.flatten_optimizer: false``.
+    flatten = (cfg.train.flatten_optimizer
+               if cfg.train and cfg.train.flatten_optimizer is not None
+               else False)
 
     def build(learning_rate):
         txs = []
@@ -108,6 +120,8 @@ def make_optimizer(cfg: Config, grad_clip: float | None = None) -> optax.Gradien
             raise ValueError(f"unknown optimizer: {opt_cfg.name}")
         txs.append(optax.scale_by_learning_rate(learning_rate))
         chain = optax.chain(*txs)
+        if flatten:
+            chain = optax.flatten(chain)
         if skip_nonfinite:
             chain = skip_nonfinite_updates(chain)
         return chain

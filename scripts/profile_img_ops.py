@@ -24,11 +24,11 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def build_step(variant: str, batch_size: int):
+def build_step(variant: str, batch_size: int, img_size: int = 224):
     from gloria_tpu.models.vision_model import ImageEncoder
 
     enc = ImageEncoder(model_name="resnet_50", output_dim=768, dtype=jnp.bfloat16)
-    imgs = jnp.asarray(np.random.RandomState(0).rand(batch_size, 224, 224, 3), jnp.bfloat16)
+    imgs = jnp.asarray(np.random.RandomState(0).rand(batch_size, img_size, img_size, 3), jnp.bfloat16)
     v = enc.init(jax.random.PRNGKey(0), imgs, train=False)
 
     @jax.jit
@@ -46,6 +46,7 @@ def build_step(variant: str, batch_size: int):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch-size", type=int, default=48)
+    ap.add_argument("--img-size", type=int, default=224)
     ap.add_argument("--variant", default="baseline")
     ap.add_argument("--top", type=int, default=25)
     ap.add_argument("--trace-dir", default="/tmp/img_trace")
@@ -55,7 +56,7 @@ def main():
 
     if not args.parse_only:
         jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-        step, xs = build_step(args.variant, args.batch_size)
+        step, xs = build_step(args.variant, args.batch_size, args.img_size)
         out = step(*xs)
         float(out[0])  # compile + settle
 
