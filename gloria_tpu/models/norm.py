@@ -44,16 +44,6 @@ class SplitBatchNorm(nn.Module):
             features = sums[0].shape[-1]
         else:
             features = x.shape[-1]
-            # Flatten leading dims: all stats/apply math (and its autodiff)
-            # runs on the [N, C] view.  The reshape is a free bitcast
-            # (row-major, C minor), but it changes how Mosaic tiles the
-            # batch-stat and d(scale)/d(bias) reductions — the 4-D
-            # reduce over (0,1,2) at e.g. [48,150,150,64] measures 2.2x
-            # slower than the identical bytes reduced as [1.08M, 64]
-            # (scripts/bench_bn_reduce.py, v5e).
-            orig_shape = x.shape
-            if x.ndim > 2:
-                x = x.reshape(-1, features)
         scale = self.param("scale", nn.initializers.ones_init(), (features,),
                            self.param_dtype)
         bias = self.param("bias", nn.initializers.zeros_init(), (features,),
@@ -86,6 +76,14 @@ class SplitBatchNorm(nn.Module):
         mul = lax.rsqrt(var + self.epsilon) * scale
         if fold or sums is not None:
             return mul, bias - mean * mul
+        # NOTE: a [B,H,W,C] -> [B*H*W,C] flatten before the stats/apply math
+        # was tried here (the standalone 4-D reduce at stem shapes measures
+        # 2.2x slower than the 2-D view, scripts/bench_bn_reduce.py) but is
+        # (a) a wash inside the full jitted step — XLA already canonicalizes
+        # the reduce — and (b) NOT free under GSPMD: merging the dp-sharded
+        # batch dim with spatial dims broke sharding propagation and aborted
+        # the dp x tp sharded step on the virtual mesh.  Keep BN shape-
+        # preserving; sharded-step equality is pinned by test_parallel.py.
         y = (x.astype(jnp.float32) - mean) * mul + bias
         out_dtype = self.dtype or jnp.promote_types(x.dtype, jnp.float32)
-        return jnp.asarray(y, out_dtype).reshape(orig_shape)
+        return jnp.asarray(y, out_dtype)
