@@ -69,7 +69,7 @@ def device_peak_flops() -> float | None:
 
 def build(smoke: bool, batch_override: int | None = None, loss_chunk: int = 0,
           fused: bool = False, fused_bn: bool = False, flatten_opt: bool = False,
-          input_size: int | None = None):
+          input_size: int | None = None, accum: int = 1):
     import jax
     import jax.numpy as jnp
 
@@ -110,11 +110,18 @@ def build(smoke: bool, batch_override: int | None = None, loss_chunk: int = 0,
     if input_size:
         cfg.set_path("model.vision.encoder_input_size", input_size)
 
+    if accum > 1:
+        cfg.set_path("lightning.trainer.accumulate_grad_batches", accum)
+
     raw = make_synthetic_batch(batch_size=batch_size, num_tokens=tokens, imsize=imsize,
                                vocab_size=cfg.model.text.bert_config["vocab_size"])
     dtype = jnp.float32 if smoke else jnp.bfloat16
     model, state, train_step, _ = init_gloria(cfg, raw, dtype=dtype, loss_chunk=loss_chunk)
     batch = {k: jnp.asarray(v) for k, v in raw.items()}
+    if accum > 1:  # stacked [G, b, ...] micro-batches; pairs/step = G·b
+        batch = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x[None], (accum,) + x.shape), batch)
+        batch_size *= accum
     return state, batch, train_step, batch_size
 
 
@@ -167,6 +174,10 @@ def main() -> int:
     ap.add_argument("--flatten-opt", action="store_true",
                     help="run the optimizer elementwise math over one raveled "
                          "vector (optax.flatten) instead of ~320 per-leaf kernels")
+    ap.add_argument("--accum", type=int, default=1,
+                    help="gradient-accumulation window G: each step consumes G "
+                         "stacked micro-batches of --batch-size and applies one "
+                         "update (reported pairs/s counts all G·b pairs)")
     ap.add_argument("--input-size", type=int, default=None,
                     help="override the encoder upsample size (reference: 299; "
                          "304 keeps the 19x19 attention grid on tile-aligned "
@@ -179,7 +190,7 @@ def main() -> int:
 
     state, batch, train_step, bs = build(args.smoke, args.batch_size, args.loss_chunk,
                                          args.fused, args.fused_bn, args.flatten_opt,
-                                         args.input_size)
+                                         args.input_size, args.accum)
     flops = None if (args.smoke or args.cpu_baseline) else step_flops(train_step, state, batch)
     steps = args.steps if not args.cpu_baseline else 2
     warmup = 1 if (args.cpu_baseline or args.smoke) else 3

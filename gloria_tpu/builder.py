@@ -103,5 +103,14 @@ def init_gloria(cfg: Config, batch: dict, seed: int = 0, dtype=jnp.float32,
     state = create_train_state(model, variables, tx, jax.random.PRNGKey(seed + 1))
     train_step, eval_step = make_pretrain_steps(
         model, tx, return_attn=return_attn, loss_chunk=loss_chunk,
-        dropout_impl=(cfg.train.dropout_rng if cfg.train else None) or "rbg")
+        dropout_impl=(cfg.train.dropout_rng if cfg.train else None) or "rbg",
+        accum_steps=accumulate_grad_batches(cfg))
     return model, state, train_step, eval_step
+
+
+def accumulate_grad_batches(cfg: Config) -> int:
+    """Lightning's ``accumulate_grad_batches`` trainer knob (the reference's
+    argparse passthrough exposed it, ``run.py:116``); lives under
+    ``lightning.trainer`` for config-schema parity."""
+    t = cfg.lightning.trainer if cfg.lightning and cfg.lightning.trainer else None
+    return max(1, int((t.accumulate_grad_batches if t else None) or 1))

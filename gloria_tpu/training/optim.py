@@ -86,10 +86,12 @@ def make_optimizer(cfg: Config, grad_clip: float | None = None) -> optax.Gradien
                       if cfg.train and cfg.train.skip_nonfinite_grads is not None
                       else True)
     # optax.flatten: run the elementwise optimizer math over ONE raveled
-    # vector instead of ~300 per-leaf kernels.  The flagship tree has ~50M
-    # params in ~320 leaves; per-leaf lowering leaves XLA hundreds of small
-    # fused loops whose launch + tiling overhead dominates the moment math
-    # (measured on v5e at B=48: see DESIGN.md round-3 optimizer section).
+    # vector instead of ~300 per-leaf kernels.  The flagship tree
+    # (ResNet-50 + BERT-base, ~135M params) has ~320 leaves; per-leaf
+    # lowering leaves XLA hundreds of small fused loops whose launch +
+    # tiling overhead could dominate the moment math — measured on v5e at
+    # B=48 it instead LOSES 16% (the grad concatenate is a barrier against
+    # backward overlap; DESIGN.md round-3 table), so this stays off.
     # Trade-off: the optimizer state stores flat [N] moment vectors, so
     # checkpoints carry the same bytes but not per-parameter names; torch
     # export of optimizer moments is unaffected (it exports params, not

@@ -50,16 +50,35 @@ def create_train_state(
 def make_pretrain_steps(
     model: GLoRIA, tx: optax.GradientTransformation, *, loss_chunk: int = 0,
     donate: bool = True, return_attn: bool = False, dropout_impl: str = "rbg",
+    accum_steps: int = 1,
 ) -> tuple[Callable, Callable]:
     """Returns (train_step(state, batch) -> (state, metrics),
                 eval_step(state, batch) -> metrics).  Metrics include the
     diagonal attention maps under "_attn" (always for eval; for train only
-    when ``return_attn`` — the localization callbacks consume them)."""
+    when ``return_attn`` — the localization callbacks consume them).
 
-    def loss_from_outputs(params, state, batch, outs):
+    ``accum_steps=G > 1`` (Lightning ``accumulate_grad_batches``, which the
+    reference's ``Trainer.add_argparse_args`` passthrough exposed,
+    ``run.py:116``): the train step then takes batch leaves stacked
+    ``[G, b, ...]``, runs G sequential micro-batch forward/backward passes
+    under ``lax.scan`` (grads averaged, BatchNorm stats updated per
+    micro-batch — Lightning's semantics exactly), and applies ONE optimizer
+    update.  The contrastive losses stay per-micro-batch (negatives do NOT
+    span micro-batches — same as Lightning; use real large batches +
+    ``loss_chunk`` when large-batch InfoNCE semantics are wanted).  Peak
+    activation memory stays that of one micro-batch, so G scales the
+    effective Adam batch far past HBM limits."""
+    if accum_steps > 1 and return_attn:
+        raise ValueError(
+            "accumulate_grad_batches > 1 is not supported together with "
+            "train-time attention callbacks (return_attn): per-sample attention "
+            "rows would span micro-batches. Run EvaluateLocalization on the "
+            "val/test loaders instead.")
+
+    def loss_from_outputs(params, stats, batch, outs):
         img_l, img_g, txt_l, txt_g, grid = outs
         return model.apply(
-            {"params": params, "batch_stats": state.batch_stats},
+            {"params": params, "batch_stats": stats},
             img_l, img_g, txt_l, txt_g,
             batch["cap_lens"], grid, batch.get("segmentation_labels"),
             chunk=loss_chunk,
@@ -110,7 +129,7 @@ def make_pretrain_steps(
                 batch, train=True,
                 mutable=["batch_stats"], rngs={"dropout": rng},
             )
-            loss, metrics, attn = loss_from_outputs(params, state, batch, outs)
+            loss, metrics, attn = loss_from_outputs(params, state.batch_stats, batch, outs)
             if return_attn:
                 metrics["_attn"] = jax.lax.stop_gradient(attn)
                 loc, glo = diag_sims(params, batch, outs)
@@ -119,6 +138,9 @@ def make_pretrain_steps(
             return loss, (metrics, muts["batch_stats"])
 
         (loss, (metrics, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        return _apply_grads(state, grads, metrics, new_stats)
+
+    def _apply_grads(state: TrainState, grads, metrics, new_stats):
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         metrics = dict(metrics)
@@ -139,9 +161,54 @@ def make_pretrain_steps(
         )
         return new_state, metrics
 
+    def train_step_accum(state: TrainState, batch: dict):
+        """One optimizer step from ``accum_steps`` stacked micro-batches
+        (leaves ``[G, b, ...]``): sequential fwd/bwd under ``lax.scan`` with
+        per-micro-batch dropout keys and BN-stat updates, mean of the G
+        gradients applied once."""
+        base_rng = jax.random.fold_in(state.rng, state.step)
+
+        def micro(carry, inputs):
+            stats, grad_sum, metric_sum = carry
+            i, mb = inputs
+
+            def loss_fn(params):
+                folded = jax.random.fold_in(base_rng, i)
+                rng = (folded if dropout_impl == "threefry"
+                       else jax.random.wrap_key_data(jnp.tile(folded, 2), impl="rbg"))
+                outs, muts = model.apply(
+                    {"params": params, "batch_stats": stats},
+                    mb, train=True,
+                    mutable=["batch_stats"], rngs={"dropout": rng},
+                )
+                loss, metrics, _ = loss_from_outputs(params, stats, mb, outs)
+                return loss, (metrics, muts["batch_stats"])
+
+            (_, (metrics, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            grad_sum = jax.tree_util.tree_map(jnp.add, grad_sum, grads)
+            metric_sum = jax.tree_util.tree_map(jnp.add, metric_sum, metrics)
+            return (new_stats, grad_sum, metric_sum), None
+
+        # trace one micro-batch to get the metrics structure for the carry
+        mb0 = jax.tree_util.tree_map(lambda x: x[0], batch)
+        metrics_shape = jax.eval_shape(
+            lambda p, s, b: loss_from_outputs(
+                p, s, b,
+                model.apply({"params": p, "batch_stats": s}, b, train=False))[1],
+            state.params, state.batch_stats, mb0)
+        zeros_metrics = jax.tree_util.tree_map(
+            lambda sd: jnp.zeros(sd.shape, sd.dtype), metrics_shape)
+        zeros_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        (new_stats, grad_sum, metric_sum), _ = jax.lax.scan(
+            micro, (state.batch_stats, zeros_grads, zeros_metrics),
+            (jnp.arange(accum_steps), batch))
+        grads = jax.tree_util.tree_map(lambda g: g / accum_steps, grad_sum)
+        metrics = jax.tree_util.tree_map(lambda m: m / accum_steps, metric_sum)
+        return _apply_grads(state, grads, metrics, new_stats)
+
     def eval_step(state: TrainState, batch: dict):
         outs = model.apply(state.variables(), batch, train=False)
-        loss, metrics, attn = loss_from_outputs(state.params, state, batch, outs)
+        loss, metrics, attn = loss_from_outputs(state.params, state.batch_stats, batch, outs)
         metrics = dict(metrics)
         metrics["_attn"] = attn
         loc, glo = diag_sims(state.params, batch, outs)
@@ -149,7 +216,8 @@ def make_pretrain_steps(
         metrics["_global_sims"] = glo
         return metrics
 
-    jit_train = jax.jit(train_step, donate_argnums=(0,) if donate else ())
+    step_fn = train_step_accum if accum_steps > 1 else train_step
+    jit_train = jax.jit(step_fn, donate_argnums=(0,) if donate else ())
     jit_eval = jax.jit(eval_step)
     return jit_train, jit_eval
 

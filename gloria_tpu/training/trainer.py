@@ -10,6 +10,7 @@ EvaluateLocalization / WeightInstancesByLocalization + ``Trainer.fit``).
 from __future__ import annotations
 
 import math
+import signal
 import time
 from dataclasses import dataclass, field
 from typing import Callable, Iterable
@@ -89,6 +90,10 @@ class Trainer:
         # reference trainer knobs (imagenome_pretrain_config.yaml:14-16)
         self.limit_train_batches = trainer_cfg.limit_train_batches
         self.limit_val_batches = trainer_cfg.limit_val_batches
+        # Lightning accumulate_grad_batches: stack G loader batches into one
+        # [G, b, ...] step input; the jitted step (built with the matching
+        # accum_steps) scans the micro-batches and applies ONE update
+        self.accumulate_grad_batches = max(1, int(trainer_cfg.accumulate_grad_batches or 1))
         self.check_val_every_n_epoch = int(trainer_cfg.check_val_every_n_epoch or 1)
         self.logger = logger or MetricLogger(cfg.output_dir)
         self.checkpoints = checkpoints
@@ -106,6 +111,29 @@ class Trainer:
         )
         self.metric_extractor = metric_extractor or (lambda m: {})
         self.global_step = 0
+        # preemption-graceful shutdown: SIGTERM/SIGUSR1 (the SLURM preemption
+        # signals Lightning's SLURM connector handled for the reference's 48 h
+        # walls, submit_job.sh:9) set a flag; fit() breaks at the next batch
+        # boundary, saves a checkpoint, and returns cleanly for requeue+--resume
+        self.interrupted = False
+
+    def _install_signal_handlers(self) -> dict:
+        previous = {}
+        for sig in (signal.SIGTERM, signal.SIGUSR1):
+            try:
+                previous[sig] = signal.signal(
+                    sig, lambda signum, frame: setattr(self, "interrupted", True))
+            except ValueError:  # not the main thread (e.g. threaded tests)
+                pass
+        return previous
+
+    @staticmethod
+    def _restore_signal_handlers(previous: dict) -> None:
+        for sig, handler in previous.items():
+            try:
+                signal.signal(sig, handler)
+            except ValueError:
+                pass
 
     @staticmethod
     def _limit(limit, loader) -> int | None:
@@ -148,6 +176,13 @@ class Trainer:
         return epoch_metrics
 
     def fit(self, state: TrainState, train_loader: Iterable, val_loader: Iterable | None = None) -> TrainState:
+        previous_handlers = self._install_signal_handlers()
+        try:
+            return self._fit(state, train_loader, val_loader)
+        finally:
+            self._restore_signal_handlers(previous_handlers)
+
+    def _fit(self, state: TrainState, train_loader: Iterable, val_loader: Iterable | None) -> TrainState:
         for epoch in range(self.max_epochs):
             t0 = time.time()
             n = 0
@@ -155,10 +190,24 @@ class Trainer:
             max_batches = self._limit(self.limit_train_batches, train_loader)
             device_losses = []  # keep on device; a per-step float() would
             # force a host sync and break JAX async dispatch
+            microbuf: list = []
             for batch_idx, batch in enumerate(train_loader):
                 if max_batches is not None and batch_idx >= max_batches:
                     break
-                state, metrics = self.train_step(state, _device_only(batch))
+                if self.interrupted:
+                    break
+                if self.accumulate_grad_batches > 1:
+                    microbuf.append(batch)
+                    if len(microbuf) < self.accumulate_grad_batches:
+                        continue  # keep filling the accumulation window
+                    stacked = jax.tree_util.tree_map(
+                        lambda *xs: np.stack(xs) if isinstance(xs[0], np.ndarray)
+                        else jax.numpy.stack(xs),
+                        *[_device_only(b) for b in microbuf])
+                    batch, microbuf = microbuf[-1], []  # callbacks see the last micro-batch
+                    state, metrics = self.train_step(state, stacked)
+                else:
+                    state, metrics = self.train_step(state, _device_only(batch))
                 self.global_step += 1
                 n += 1
                 device_losses.append(metrics["loss"])
@@ -172,6 +221,19 @@ class Trainer:
 
             loss_sum = float(np.sum(jax.device_get(device_losses))) if device_losses else 0.0
             epoch_metrics = {"train_loss": loss_sum / max(n, 1), "epoch_time": time.time() - t0}
+            if self.interrupted:
+                # preemption: persist NOW (mid-epoch state; a --resume restarts
+                # the interrupted epoch — the loader's epoch order is a pure
+                # function of seed+epoch, so the rerun is deterministic)
+                epoch_metrics["interrupted"] = 1.0
+                self.logger.log(epoch_metrics, self.global_step, "epoch")
+                if self.checkpoints is not None:
+                    self.checkpoints.save(
+                        {"params": state.params, "batch_stats": state.batch_stats,
+                         "opt_state": state.opt_state, "step": state.step},
+                        step=self.global_step, metrics=epoch_metrics, cfg=self.cfg,
+                    )
+                return state
             if val_loader is not None and (epoch + 1) % self.check_val_every_n_epoch == 0:
                 epoch_metrics.update(self._run_eval(state, val_loader, "val"))
             for cb in self.callbacks:

@@ -50,6 +50,11 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--limit_batches", type=int, default=None, help="cap batches/epoch (debug)")
     p.add_argument("--fused_kernel", action="store_true",
                    help="route the O(B²) local-matching sims through the Pallas kernel")
+    p.add_argument("--accumulate_grad_batches", type=int, default=None,
+                   help="Lightning-style gradient accumulation: G loader "
+                        "batches per optimizer step (grads averaged, BN stats "
+                        "per micro-batch; contrastive negatives stay per-"
+                        "micro-batch, as in Lightning)")
     p.add_argument("--loss_chunk", type=int, default=None,
                    help="text-chunk size for the O(B²) pairwise loss (scan+remat); "
                         "default: batch-keyed auto (unchunked ≤128, chunk=8 above)")
@@ -98,6 +103,9 @@ def apply_overrides(cfg, args) -> None:
         cfg.set_path("model.gloria.fused_kernel", True)
     if args.loss_chunk is not None:
         cfg.set_path("train.loss_chunk", args.loss_chunk)
+    if args.accumulate_grad_batches is not None:
+        cfg.set_path("lightning.trainer.accumulate_grad_batches",
+                     args.accumulate_grad_batches)
     if args.fused_bn:
         cfg.set_path("model.vision.fused_bn", True)
     for key in ("no_attn_loss_weight", "attention_divergence_loss_weight",
