@@ -191,7 +191,10 @@ def main() -> int:
     state, batch, train_step, bs = build(args.smoke, args.batch_size, args.loss_chunk,
                                          args.fused, args.fused_bn, args.flatten_opt,
                                          args.input_size, args.accum)
-    flops = None if (args.smoke or args.cpu_baseline) else step_flops(train_step, state, batch)
+    # no MFU under --accum: XLA cost analysis counts the accumulation scan's
+    # body ONCE regardless of trip count, undercounting FLOPs by ~G
+    flops = (None if (args.smoke or args.cpu_baseline or args.accum > 1)
+             else step_flops(train_step, state, batch))
     steps = args.steps if not args.cpu_baseline else 2
     warmup = 1 if (args.cpu_baseline or args.smoke) else 3
     repeats = 1 if (args.cpu_baseline or args.smoke) else args.repeats

@@ -42,6 +42,43 @@ class Callback:
     def on_epoch_end(self, trainer, state, split, epoch_metrics): ...
 
 
+class ProfileTrace(Callback):
+    """Capture a ``jax.profiler`` device trace of a window of train steps
+    (viewable in TensorBoard/XProf/Perfetto).  The reference had no profiling
+    at all (SURVEY §5); here it is one flag: ``run.py --profile N``.
+
+    Skips the first ``skip`` batches (compile + warmup would dominate the
+    trace), then records ``steps`` batches and stops, blocking on the last
+    step's metrics so the trace contains completed device work.  Fail-soft:
+    trace errors (e.g. an execution tunnel without profiler support) log a
+    warning instead of killing the run."""
+
+    def __init__(self, log_dir, steps: int = 5, skip: int = 2):
+        self.log_dir = str(log_dir)
+        self.steps = steps
+        self.skip = skip
+        self._active = False
+        self._done = False
+
+    def on_train_batch_end(self, trainer, state, metrics, batch, batch_idx):
+        if self._done:
+            return
+        try:
+            if not self._active and batch_idx + 1 == self.skip:
+                jax.profiler.start_trace(self.log_dir)
+                self._active = True
+            elif self._active and batch_idx + 1 >= self.skip + self.steps:
+                jax.block_until_ready(metrics["loss"])
+                jax.profiler.stop_trace()
+                self._active = False
+                self._done = True
+                print(f"profile trace ({self.steps} steps) written to {self.log_dir}")
+        except Exception as exc:  # fail-soft: profiling must never kill training
+            self._active = False
+            self._done = True
+            print(f"WARNING: profiler trace failed: {exc}")
+
+
 @dataclass
 class EarlyStopping:
     monitor: str = "val_loss"

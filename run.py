@@ -50,6 +50,10 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--limit_batches", type=int, default=None, help="cap batches/epoch (debug)")
     p.add_argument("--fused_kernel", action="store_true",
                    help="route the O(B²) local-matching sims through the Pallas kernel")
+    p.add_argument("--profile", type=int, default=None, metavar="N",
+                   help="capture a jax.profiler device trace of N steady-state "
+                        "train steps to <output_dir>/profile (TensorBoard/"
+                        "Perfetto-viewable)")
     p.add_argument("--accumulate_grad_batches", type=int, default=None,
                    help="Lightning-style gradient accumulation: G loader "
                         "batches per optimizer step (grads averaged, BN stats "
@@ -118,6 +122,16 @@ def apply_overrides(cfg, args) -> None:
 def main(cfg, args) -> dict:
     import jax
     import jax.numpy as jnp
+
+    # persistent compilation cache: re-running an experiment (seed sweeps,
+    # resumes, ablation grids over non-shape flags) skips the multi-minute
+    # first compile of the train step
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("GLORIA_COMPILE_CACHE", "/tmp/jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
 
     from gloria_tpu import builder
     from gloria_tpu.data import device_batch
@@ -194,6 +208,11 @@ def main(cfg, args) -> dict:
                 state = state.replace(opt_state=restored["opt_state"],
                                       step=jnp.asarray(restored["step"], jnp.int32))
         callbacks = []
+        if args.profile:
+            from gloria_tpu.training.trainer import ProfileTrace
+
+            callbacks.append(ProfileTrace(Path(cfg.output_dir) / "profile",
+                                          steps=int(args.profile)))
         if cfg.train and cfg.train.nvis:
             from gloria_tpu.training.plotting import AttentionPlotCallback
 

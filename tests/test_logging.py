@@ -85,3 +85,19 @@ def test_histogram_local_only(tmp_path):
     lg.close()
     row = json.loads((tmp_path / "histograms.jsonl").read_text().splitlines()[0])
     assert row["step"] == 5 and row["min"] == 0.1 and row["max"] == 0.7
+
+
+def test_profile_trace_callback(tmp_path):
+    """--profile: skips warmup batches, traces N steps, writes an XPlane
+    artifact, and never re-arms after the window."""
+    import jax.numpy as jnp
+
+    from gloria_tpu.training.trainer import ProfileTrace
+
+    cb = ProfileTrace(tmp_path / "prof", steps=2, skip=1)
+    loss = jnp.zeros(())
+    for i in range(6):
+        cb.on_train_batch_end(None, None, {"loss": loss}, None, i)
+    assert cb._done and not cb._active
+    files = list((tmp_path / "prof").rglob("*.xplane.pb"))
+    assert files, "no profiler trace written"
