@@ -21,8 +21,10 @@ model:
   ``concurrent.futures.Future``s, so many small callers share one padded
   device program.
 - **Stdlib HTTP front end.** ``serve_http`` exposes ``POST /classify``
-  (JSON ``{"paths": [...]}`` or base64 ``{"arrays_b64": ...}``) and
-  ``GET /healthz`` on ``http.server`` — no web framework dependency.
+  (JSON ``{"paths": [...]}`` or base64 ``{"arrays_b64": ...}``),
+  ``GET /healthz``, and ``GET /stats`` (uptime, per-endpoint request/error
+  counts, latency percentiles, queue depth) on ``http.server`` — no web
+  framework dependency.
 """
 
 from __future__ import annotations
@@ -32,6 +34,8 @@ import io
 import json
 import queue
 import threading
+import time
+from collections import Counter, deque
 from concurrent.futures import Future
 from pathlib import Path
 from typing import Sequence
@@ -39,6 +43,54 @@ from typing import Sequence
 import numpy as np
 
 from .api import GloriaModel, generate_chexpert_class_prompts
+
+
+class ServingStats:
+    """Thread-safe request accounting for the ``/stats`` endpoint.
+
+    Latencies keep a bounded window (last ``window`` samples per endpoint)
+    so a long-lived server reports *recent* percentiles, not lifetime ones,
+    at O(1) memory."""
+
+    def __init__(self, window: int = 2048):
+        self._lock = threading.Lock()
+        self._window = window
+        self.started = time.time()
+        self.requests: Counter = Counter()
+        self.errors: Counter = Counter()
+        self.images = 0
+        self._latency: dict[str, deque] = {}
+
+    def record(self, endpoint: str, seconds: float, images: int = 0,
+               error: bool = False) -> None:
+        with self._lock:
+            self.requests[endpoint] += 1
+            self.images += images
+            if error:
+                self.errors[endpoint] += 1
+            else:  # errors fail fast; mixing them in would skew the tail
+                self._latency.setdefault(
+                    endpoint, deque(maxlen=self._window)).append(seconds)
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            latency = {}
+            for ep, window in self._latency.items():
+                ms = np.asarray(window, np.float64) * 1e3
+                latency[ep] = {
+                    "n": int(ms.size),
+                    "p50_ms": round(float(np.percentile(ms, 50)), 3),
+                    "p90_ms": round(float(np.percentile(ms, 90)), 3),
+                    "p99_ms": round(float(np.percentile(ms, 99)), 3),
+                    "max_ms": round(float(ms.max()), 3),
+                }
+            return {
+                "uptime_s": round(time.time() - self.started, 3),
+                "requests": dict(self.requests),
+                "errors": dict(self.errors),
+                "images": self.images,
+                "latency": latency,
+            }
 
 
 def _next_bucket(n: int, max_batch: int) -> int:
@@ -373,6 +425,7 @@ def serve_http(engine: InferenceEngine, host: str = "127.0.0.1", port: int = 800
 
     bat = batcher
     root = str(Path(paths_root).resolve()) if paths_root else None
+    stats = ServingStats()
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
@@ -389,6 +442,12 @@ def serve_http(engine: InferenceEngine, host: str = "127.0.0.1", port: int = 800
         def do_GET(self):
             if self.path == "/healthz":
                 self._json(200, {"ok": True, "classes": engine.class_names})
+            elif self.path == "/stats":
+                payload = stats.snapshot()
+                payload["max_batch"] = engine.max_batch
+                if bat is not None:
+                    payload["batcher_queue_depth"] = bat._q.qsize()
+                self._json(200, payload)
             else:
                 self._json(404, {"error": "unknown path"})
 
@@ -415,24 +474,31 @@ def serve_http(engine: InferenceEngine, host: str = "127.0.0.1", port: int = 800
         def do_POST(self):
             if self.path not in ("/classify", "/retrieve"):
                 return self._json(404, {"error": "unknown path"})
+            t0 = time.perf_counter()
+            n_inputs = 0
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length) or b"{}")
                 inputs, err = self._inputs(req)
                 if err is not None:
+                    stats.record(self.path, time.perf_counter() - t0, error=True)
                     return self._json(*err)
+                n_inputs = len(inputs)
                 if self.path == "/retrieve":
                     results = engine.retrieve(
                         inputs, similarity_type=req.get("similarity_type", "both"))
+                    stats.record(self.path, time.perf_counter() - t0, n_inputs)
                     return self._json(200, {"results": results})
                 imgs = engine.process_img_uint8(inputs)
                 if bat is not None:
                     scores = bat.submit(imgs).result(timeout=60)
                 else:
                     scores = engine.classify(imgs)
+                stats.record(self.path, time.perf_counter() - t0, n_inputs)
                 self._json(200, {"classes": engine.class_names,
                                  "scores": np.asarray(scores).tolist()})
             except Exception as e:
+                stats.record(self.path, time.perf_counter() - t0, n_inputs, error=True)
                 self._json(500, {"error": f"{type(e).__name__}: {e}"})
 
     server = ThreadingHTTPServer((host, port), Handler)

@@ -30,18 +30,31 @@ def _to_host(tree):
 
 class CheckpointManager:
     def __init__(self, directory: str | Path, monitor: str = "val_loss",
-                 mode: str = "min", save_top_k: int = 10, save_last: bool = True):
+                 mode: str = "min", save_top_k: int = 10, save_last: bool = True,
+                 async_save: bool = False):
         self.dir = Path(directory)
         self.dir.mkdir(parents=True, exist_ok=True)
         self.monitor = monitor
         self.mode = mode
         self.save_top_k = save_top_k
         self.save_last = save_last
-        self._ckpt = ocp.PyTreeCheckpointer()
+        self.async_save = async_save
+        # async: the (already host-copied) tree is serialized and written to
+        # disk on orbax's background thread so the next epoch trains during
+        # the write; at most ONE save is in flight (save() waits for the
+        # previous), and _prune never touches the in-flight directory
+        self._ckpt = (ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+                      if async_save else ocp.PyTreeCheckpointer())
         self.manifest_path = self.dir / "manifest.json"
         self.manifest: dict = {"entries": [], "last": None}
         if self.manifest_path.exists():
             self.manifest = json.loads(self.manifest_path.read_text())
+
+    def wait(self) -> None:
+        """Block until any in-flight async save is durable on disk.  Call
+        before process exit / restore-from-latest; no-op when synchronous."""
+        if hasattr(self._ckpt, "wait_until_finished"):
+            self._ckpt.wait_until_finished()
 
     # -- core save/load --------------------------------------------------------
     def _write(self, name: str, state: Any, cfg: Config | None, extra: dict):
@@ -63,6 +76,7 @@ class CheckpointManager:
         # that limitation is documented in docs/MULTIHOST.md.
         if jax.process_index() != 0:
             return str(self.dir / f"step_{step:08d}")
+        self.wait()  # one async save in flight at a time
         metrics = metrics or {}
         metric = metrics.get(self.monitor)
         name = f"step_{step:08d}"
@@ -71,11 +85,13 @@ class CheckpointManager:
         self.manifest["entries"] = [e for e in self.manifest["entries"] if e["name"] != name] + [entry]
         if self.save_last:
             self.manifest["last"] = name
-        self._prune()
+        # never prune the directory the background thread may still be
+        # writing; if unworthy it is pruned at the NEXT save (post-wait)
+        self._prune(protect=name if self.async_save else None)
         self.manifest_path.write_text(json.dumps(self.manifest))
         return str(self.dir / name)
 
-    def _prune(self):
+    def _prune(self, protect: str | None = None):
         scored = [e for e in self.manifest["entries"] if e["metric"] is not None]
         sign = 1 if self.mode == "min" else -1
         scored.sort(key=lambda e: sign * e["metric"])
@@ -87,6 +103,8 @@ class CheckpointManager:
             keep.add(unscored[-1])
         if self.manifest.get("last"):
             keep.add(self.manifest["last"])
+        if protect is not None:
+            keep.add(protect)
         for e in list(self.manifest["entries"]):
             if e["name"] not in keep:
                 shutil.rmtree(self.dir / e["name"], ignore_errors=True)
@@ -105,6 +123,7 @@ class CheckpointManager:
         return self.manifest.get("last") and str(self.dir / self.manifest["last"])
 
     def restore(self, path: str | Path, target: Any = None) -> tuple[Any, Config | None, dict]:
+        self.wait()  # the requested checkpoint may still be in flight
         path = Path(path)
         state = self._ckpt.restore(path.resolve(), item=_to_host(target) if target is not None else None)
         meta_path = path.parent / f"{path.name}.meta.json"

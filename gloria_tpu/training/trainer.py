@@ -270,6 +270,7 @@ class Trainer:
                          "opt_state": state.opt_state, "step": state.step},
                         step=self.global_step, metrics=epoch_metrics, cfg=self.cfg,
                     )
+                    self.checkpoints.wait()  # durable before the process exits
                 return state
             if val_loader is not None and (epoch + 1) % self.check_val_every_n_epoch == 0:
                 epoch_metrics.update(self._run_eval(state, val_loader, "val"))
@@ -292,6 +293,8 @@ class Trainer:
                 v = epoch_metrics.get(self.early_stopping.monitor)
                 if v is not None and self.early_stopping.step(float(v)):
                     break
+        if self.checkpoints is not None:
+            self.checkpoints.wait()  # async saves durable before fit() returns
         return state
 
     def validate(self, state: TrainState, loader: Iterable) -> dict:

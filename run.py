@@ -171,6 +171,9 @@ def main(cfg, args) -> dict:
         mode=ckpt_cfg.get("mode", "min"),
         save_top_k=int(ckpt_cfg.get("save_top_k", 1)),
         save_last=bool(ckpt_cfg.get("save_last", True)),
+        # overlap the disk write with the next epoch's training; the trainer
+        # waits for durability at fit() exit and on preemption saves
+        async_save=bool(ckpt_cfg.get("async_save", False)),
     )
     # reference run.py:137-144 instantiates the logger class named by
     # cfg.lightning.logger.logger_type (WandbLogger in the shipped configs);

@@ -249,3 +249,52 @@ def test_http_server_classify(engine, tmp_path):
         np.testing.assert_allclose(scores, expect, rtol=2e-4, atol=2e-4)
     finally:
         server.shutdown()
+
+
+def test_stats_endpoint(engine, tmp_path):
+    import cv2
+
+    p = str(tmp_path / "stat_im.png")
+    cv2.imwrite(p, (np.random.RandomState(7).rand(70, 60) * 255).astype(np.uint8))
+    server = serve_http(engine, host="127.0.0.1", port=0)
+    try:
+        port = server.server_address[1]
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/classify",
+            data=json.dumps({"paths": [p]}).encode(),
+            headers={"Content-Type": "application/json"})
+        for _ in range(3):
+            with urllib.request.urlopen(req, timeout=60):
+                pass
+        # one malformed request → counted as an error, kept out of latency
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/classify", data=b"{}",
+            headers={"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(bad, timeout=30)
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/stats", timeout=30) as r:
+            stats = json.loads(r.read())
+        assert stats["requests"]["/classify"] == 4
+        assert stats["errors"]["/classify"] == 1
+        assert stats["images"] == 3
+        lat = stats["latency"]["/classify"]
+        assert lat["n"] == 3
+        assert 0 < lat["p50_ms"] <= lat["p90_ms"] <= lat["p99_ms"] <= lat["max_ms"]
+        assert stats["uptime_s"] > 0 and stats["max_batch"] == 8
+    finally:
+        server.shutdown()
+
+
+def test_serving_stats_window_bounded():
+    from gloria_tpu.serving import ServingStats
+
+    s = ServingStats(window=10)
+    for i in range(100):
+        s.record("/x", seconds=0.001 * (i + 1), images=1)
+    snap = s.snapshot()
+    assert snap["requests"]["/x"] == 100 and snap["images"] == 100
+    # only the LAST 10 samples survive → p50 reflects recent traffic
+    assert snap["latency"]["/x"]["n"] == 10
+    assert snap["latency"]["/x"]["p50_ms"] > 90.0
