@@ -68,7 +68,7 @@ class CheckpointManager:
         (self.dir / f"{name}.meta.json").write_text(json.dumps(meta))
 
     def save(self, state: Any, step: int, metrics: dict | None = None,
-             cfg: Config | None = None) -> str:
+             cfg: Config | None = None, trainer_state: dict | None = None) -> str:
         # single-writer under multi-host: the state this trainer checkpoints
         # is replicated across hosts under pure DP, so process 0 writes for
         # everyone (avoids N hosts racing on the shared directory).  Fully
@@ -80,7 +80,10 @@ class CheckpointManager:
         metrics = metrics or {}
         metric = metrics.get(self.monitor)
         name = f"step_{step:08d}"
-        self._write(name, state, cfg, {"step": step, "metrics": {k: float(v) for k, v in metrics.items()}})
+        extra = {"step": step, "metrics": {k: float(v) for k, v in metrics.items()}}
+        if trainer_state is not None:
+            extra["trainer_state"] = trainer_state
+        self._write(name, state, cfg, extra)
         entry = {"name": name, "step": step, "metric": None if metric is None else float(metric)}
         self.manifest["entries"] = [e for e in self.manifest["entries"] if e["name"] != name] + [entry]
         if self.save_last:
@@ -154,6 +157,17 @@ def load_checkpoint(path: str | Path, target: Any = None) -> tuple[Any, Config |
         meta = json.loads(meta_path.read_text())
         cfg = Config(meta["cfg"]) if "cfg" in meta else None
     return state, cfg
+
+
+def load_checkpoint_meta(path: str | Path) -> dict:
+    """The ``extra`` record a CheckpointManager wrote next to ``path``
+    (step, metrics, trainer_state for epoch/scheduler/early-stop resume);
+    {} when absent."""
+    path = Path(path)
+    meta_path = path.parent / f"{path.name}.meta.json"
+    if meta_path.exists():
+        return json.loads(meta_path.read_text()).get("extra", {})
+    return {}
 
 
 # ---------------------------------------------------------------------------

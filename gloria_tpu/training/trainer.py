@@ -104,6 +104,13 @@ class EarlyStopping:
                 self.stopped = True
         return self.stopped
 
+    def state_dict(self) -> dict:
+        return {k: getattr(self, k) for k in ("best", "bad_epochs", "stopped")}
+
+    def load_state_dict(self, d: dict) -> None:
+        for k, v in d.items():
+            setattr(self, k, v)
+
 
 class Trainer:
     def __init__(
@@ -148,6 +155,12 @@ class Trainer:
         )
         self.metric_extractor = metric_extractor or (lambda m: {})
         self.global_step = 0
+        # Lightning resume_from_checkpoint parity: epoch counter, scheduler,
+        # and early-stopping state travel in the checkpoint meta
+        # (``trainer_state``) so --resume continues the SAME run — epoch
+        # numbering, data order (loader epoch seed), plateau/early-stop
+        # history — instead of replaying from epoch 0
+        self.start_epoch = 0
         # preemption-graceful shutdown: SIGTERM/SIGUSR1 (the SLURM preemption
         # signals Lightning's SLURM connector handled for the reference's 48 h
         # walls, submit_job.sh:9) set a flag; fit() breaks at the next batch
@@ -171,6 +184,24 @@ class Trainer:
                 signal.signal(sig, handler)
             except ValueError:
                 pass
+
+    # -- resume (Lightning resume_from_checkpoint parity) ----------------------
+    def state_dict(self, epochs_completed: int) -> dict:
+        d = {"epoch": int(epochs_completed), "global_step": int(self.global_step),
+             "scheduler": self.scheduler.state_dict()}
+        if self.early_stopping is not None:
+            d["early_stopping"] = self.early_stopping.state_dict()
+        return d
+
+    def load_state_dict(self, d: dict) -> None:
+        if not d:
+            return
+        self.start_epoch = int(d.get("epoch", 0))
+        self.global_step = int(d.get("global_step", 0))
+        if d.get("scheduler"):
+            self.scheduler.load_state_dict(d["scheduler"])
+        if d.get("early_stopping") and self.early_stopping is not None:
+            self.early_stopping.load_state_dict(d["early_stopping"])
 
     @staticmethod
     def _limit(limit, loader) -> int | None:
@@ -220,7 +251,11 @@ class Trainer:
             self._restore_signal_handlers(previous_handlers)
 
     def _fit(self, state: TrainState, train_loader: Iterable, val_loader: Iterable | None) -> TrainState:
-        for epoch in range(self.max_epochs):
+        if self.start_epoch and hasattr(train_loader, "epoch"):
+            # continue the deterministic shuffle sequence where the original
+            # run left off (PrefetchLoader orders epoch e by seed+e)
+            train_loader.epoch = self.start_epoch
+        for epoch in range(self.start_epoch, self.max_epochs):
             t0 = time.time()
             n = 0
             loss_sum = 0.0
@@ -269,6 +304,9 @@ class Trainer:
                         {"params": state.params, "batch_stats": state.batch_stats,
                          "opt_state": state.opt_state, "step": state.step},
                         step=self.global_step, metrics=epoch_metrics, cfg=self.cfg,
+                        # the interrupted epoch is NOT complete — resume reruns
+                        # it (deterministic order: the loader reseeds by epoch)
+                        trainer_state=self.state_dict(epochs_completed=epoch),
                     )
                     self.checkpoints.wait()  # durable before the process exits
                 return state
@@ -288,6 +326,7 @@ class Trainer:
                     {"params": state.params, "batch_stats": state.batch_stats,
                      "opt_state": state.opt_state, "step": state.step},
                     step=self.global_step, metrics=epoch_metrics, cfg=self.cfg,
+                    trainer_state=self.state_dict(epochs_completed=epoch + 1),
                 )
             if self.early_stopping is not None:
                 v = epoch_metrics.get(self.early_stopping.monitor)

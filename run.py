@@ -140,7 +140,9 @@ def main(cfg, args) -> dict:
         create_mesh, replicate, shard_batch, shard_batch_per_host, shard_params,
     )
     from gloria_tpu.training import optim
-    from gloria_tpu.training.checkpoints import CheckpointManager, load_checkpoint
+    from gloria_tpu.training.checkpoints import (
+        CheckpointManager, load_checkpoint, load_checkpoint_meta,
+    )
     from gloria_tpu.training.tasks import ClassificationTask, SegmentationTask, build_loss, graft_pretrained
     from gloria_tpu.training.trainer import Trainer
     from gloria_tpu.utils.logging import MetricLogger
@@ -243,6 +245,10 @@ def main(cfg, args) -> dict:
             ))
         trainer = Trainer(cfg, train_step, eval_step,
                           logger=logger, checkpoints=manager, callbacks=callbacks)
+        if args.resume and args.ckpt:
+            # Lightning resume_from_checkpoint parity: continue epoch
+            # numbering, data order, and plateau/early-stop history
+            trainer.load_state_dict(load_checkpoint_meta(args.ckpt).get("trainer_state", {}))
     else:
         task_cls = ClassificationTask if phase == "classification" else SegmentationTask
         model, patch = task_cls.build_model(cfg, gloria_variables=pretrained_vars)
