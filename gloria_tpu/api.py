@@ -69,10 +69,32 @@ class GloriaModel:
         word_num = int(cfg.data.text.word_num or 97) if cfg.data and cfg.data.text else 97
         self.text_processor = TextProcessor(self.tokenizer, num_words=word_num)
         self._forward = jax.jit(make_forward(self.model))
+        self.mesh = None
         g = (cfg.model.gloria if cfg.model else None) or Config()
         self.temp1 = g.temp1 or 4.0
         self.temp2 = g.temp2 or 5.0
         self.temp3 = g.temp3 or 10.0
+
+    def shard(self, mesh) -> "GloriaModel":
+        """Distribute inference over a ``jax.sharding.Mesh``.
+
+        Parameters are placed per the TP/FSDP rules of
+        :mod:`gloria_tpu.parallel.mesh` (replicated over the ``data`` axis);
+        image batches are then split over ``data`` by :meth:`encode_images`,
+        so the image tower — the eval path's dominant cost — runs
+        data-parallel with GSPMD-inserted collectives over ICI. The reference
+        evaluates on a single GPU only (``gloria/gloria.py:240-275``). Batch
+        sizes that don't divide the data axis are padded with repeated rows
+        and sliced back (the towers are row-independent in eval mode).
+        Returns ``self`` for chaining: ``load_gloria(p).shard(mesh)``."""
+        from .parallel.mesh import shard_params
+
+        for attr in ("_img_forward", "_txt_forward"):
+            if hasattr(self, attr):
+                delattr(self, attr)  # re-trace against the sharded params
+        self.mesh = mesh
+        self.variables = shard_params(self.variables, mesh)
+        return self
 
     # -- host preprocessing ------------------------------------------------
     def process_img(self, paths_or_arrays, device=None) -> jnp.ndarray:
@@ -108,7 +130,18 @@ class GloriaModel:
             m = self.model
             self._img_forward = jax.jit(lambda v, x: m.apply(
                 v, x, train=False, method=type(m).image_encoder_forward)[:2])
-        return self._img_forward(self.variables, jnp.asarray(imgs))
+        imgs = jnp.asarray(imgs)
+        if self.mesh is None:
+            return self._img_forward(self.variables, imgs)
+        from .parallel.mesh import batch_sharding
+
+        B, n = imgs.shape[0], self.mesh.shape["data"]
+        pad = (-B) % n
+        if pad:  # rows are independent under eval-mode BN; repeat + slice back
+            imgs = jnp.concatenate([imgs, jnp.repeat(imgs[-1:], pad, axis=0)], 0)
+        imgs = jax.device_put(imgs, batch_sharding(self.mesh))
+        out_l, out_g = self._img_forward(self.variables, imgs)
+        return (out_l[:B], out_g[:B]) if pad else (out_l, out_g)
 
     def encode_text(self, txts: dict):
         """Text tower only → (txt_emb_l [T, W, D], txt_emb_g [T, D])."""
@@ -116,10 +149,13 @@ class GloriaModel:
             m = self.model
             self._txt_forward = jax.jit(lambda v, a, b, c, d: m.apply(
                 v, a, b, c, d, method=type(m).text_encoder_forward))
-        return self._txt_forward(
-            self.variables, jnp.asarray(txts["caption_ids"]),
-            jnp.asarray(txts["attention_mask"]), jnp.asarray(txts["token_type_ids"]),
-            jnp.asarray(txts["word_assignment"]))
+        args = (jnp.asarray(txts["caption_ids"]), jnp.asarray(txts["attention_mask"]),
+                jnp.asarray(txts["token_type_ids"]), jnp.asarray(txts["word_assignment"]))
+        if self.mesh is not None:  # prompt batches are small: replicate
+            from .parallel.mesh import replicate
+
+            args = replicate(args, self.mesh)
+        return self._txt_forward(self.variables, *args)
 
     def encode(self, imgs: jnp.ndarray, txts: dict):
         img_l, img_g, txt_l, txt_g = self._forward(self.variables, {
@@ -137,9 +173,13 @@ class GloriaModel:
     def get_local_similarities(self, img_emb_l, text_emb_l, cap_lens) -> np.ndarray:
         sink = self.variables["params"].get("no_attn_vec")
         g = (self.cfg.model.gloria if self.cfg.model else None) or Config()
-        # fused_kernel: True/False pins the path; unset → auto (Pallas on TPU)
+        # fused_kernel: True/False pins the path; unset → auto (Pallas on TPU,
+        # except on a mesh: pallas_call has no GSPMD partitioning rule, so the
+        # sharded path stays on the XLA program and lets the compiler split it)
         use_fused = (gloria_loss.fused_eval_default() if g.fused_kernel is None
                      else bool(g.fused_kernel))
+        if self.mesh is not None:
+            use_fused = False
         return np.asarray(gloria_loss.local_similarities_eval(
             img_emb_l, text_emb_l, jnp.asarray(cap_lens),
             temp1=4.0, temp2=5.0, sink=sink,  # hardcoded in the reference eval path
@@ -163,7 +203,13 @@ class GloriaModel:
             raise RuntimeError("similarity type should be one of ['global', 'local', 'both']")
         if isinstance(txts, (str, list)):
             raise RuntimeError("Text input not processed - please use process_text")
-        img_l, img_g, txt_l, txt_g = self.encode(imgs, txts)
+        if self.mesh is not None:
+            # split towers so the image batch shards over 'data' (identical
+            # embeddings: the towers are independent, see encode_images)
+            img_l, img_g = self.encode_images(jnp.asarray(imgs))
+            txt_l, txt_g = self.encode_text(txts)
+        else:
+            img_l, img_g, txt_l, txt_g = self.encode(imgs, txts)
         global_sim = self.get_global_similarities(img_g, txt_g)
         local_sim = self.get_local_similarities(img_l, txt_l, txts["cap_lens"])
         if similarity_type == "global":

@@ -8,6 +8,12 @@ class with mean(local, global) similarity, max over prompts, z-normalize
 across classes, and report accuracy + per-class AUROC.
 
     python -m gloria_tpu.evaluation --ckpt <dir-or-.ckpt> [--csv <5x200.csv>]
+                                    [--devices N [--fsdp F --tp T]]
+
+``--devices N`` runs the evaluation data-parallel over an N-chip mesh
+(image batches sharded over the ``data`` axis, prompts and parameters
+replicated/TP-sharded per ``parallel.mesh`` rules) — the reference evaluates
+on one GPU only.
 """
 
 from __future__ import annotations
@@ -108,9 +114,17 @@ def main(argv=None) -> int:
     ap.add_argument("--n_prompts", type=int, default=5)
     ap.add_argument("--limit", type=int, default=None)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--devices", type=int, default=None,
+                    help="shard the eval over an N-device mesh (default: 1 device)")
+    ap.add_argument("--fsdp", type=int, default=1)
+    ap.add_argument("--tp", type=int, default=1)
     args = ap.parse_args(argv)
 
     model = load_gloria(args.ckpt)
+    if args.devices:
+        from .parallel.mesh import create_mesh
+
+        model.shard(create_mesh(n_devices=args.devices, fsdp=args.fsdp, tp=args.tp))
     result = evaluate_chexpert_5x200(model, args.csv, args.batch_size,
                                      args.n_prompts, args.limit)
     printable = {k: v for k, v in result.items() if k != "class_scores"}

@@ -174,6 +174,8 @@ class InferenceEngine:
         g = (self.model.cfg.model.gloria if self.model.cfg.model else None) or Config()
         use_fused = (gloria_loss.fused_eval_default() if g.fused_kernel is None
                      else bool(g.fused_kernel))
+        if self.model.mesh is not None:
+            use_fused = False  # pallas_call has no GSPMD rule; XLA path shards
         sink_name = "no_attn_vec"
 
         def score(variables, img_l, img_g, txt_l, txt_g, caps, onehot):
@@ -220,6 +222,28 @@ class InferenceEngine:
         return out
 
     # -- device programs -----------------------------------------------------
+    def _bucket(self, n: int) -> int:
+        """Padded batch size: power-of-2 bucket, rounded up to a multiple of
+        the mesh's data axis when the model is sharded (so the image tower
+        splits evenly over devices)."""
+        b = _next_bucket(n, self.max_batch)
+        if self.model.mesh is not None:
+            nd = self.model.mesh.shape["data"]
+            b = -(-b // nd) * nd
+        return b
+
+    def _put(self, imgs):
+        """Place a padded batch: split over the mesh's 'data' axis when the
+        model was sharded via :meth:`GloriaModel.shard`, else default device."""
+        import jax.numpy as jnp
+
+        if self.model.mesh is not None:
+            from .parallel.mesh import batch_sharding
+
+            return self._jax.device_put(jnp.asarray(imgs),
+                                        batch_sharding(self.model.mesh))
+        return jnp.asarray(imgs)
+
     def encode_images(self, imgs: np.ndarray):
         """[B, H, W, 3] float32 → (img_emb_l [B, R, D], img_emb_g [B, D]),
         padded to the bucket on device and stripped on return."""
@@ -231,11 +255,11 @@ class InferenceEngine:
                      for i in range(0, n, self.max_batch)]
             return (jnp.concatenate([p[0] for p in parts]),
                     jnp.concatenate([p[1] for p in parts]))
-        bucket = _next_bucket(n, self.max_batch)
+        bucket = self._bucket(n)
         if bucket != n:
             imgs = np.concatenate(
                 [imgs, np.zeros((bucket - n,) + imgs.shape[1:], imgs.dtype)])
-        emb_l, emb_g = self._img_fwd(self.model.variables, jnp.asarray(imgs))
+        emb_l, emb_g = self._img_fwd(self.model.variables, self._put(imgs))
         return emb_l[:n], emb_g[:n]
 
     def warmup(self, imsize: int | None = None, float32: bool = False) -> None:
@@ -286,11 +310,11 @@ class InferenceEngine:
                 [self.classify(imgs[i : i + self.max_batch])
                  for i in range(0, n, self.max_batch)])
         else:
-            bucket = _next_bucket(n, self.max_batch)
+            bucket = self._bucket(n)
             if bucket != n:
                 imgs = np.concatenate(
                     [imgs, np.zeros((bucket - n,) + imgs.shape[1:], imgs.dtype)])
-            img_l, img_g = self._img_fwd(self.model.variables, jnp.asarray(imgs))
+            img_l, img_g = self._img_fwd(self.model.variables, self._put(imgs))
             arr = np.asarray(self._score(
                 self.model.variables, img_l, img_g,
                 self._txt_l, self._txt_g, self._caps, self._class_onehot))[:n]
@@ -526,9 +550,18 @@ def main(argv=None) -> int:
     ap.add_argument("--corpus-json", default=None,
                     help='retrieval corpus for /retrieve: JSON '
                          '{"targets": [...], "classes": [...]?, "top_k": 5?}')
+    ap.add_argument("--devices", type=int, default=None,
+                    help="shard serving over an N-device mesh (batch over "
+                         "'data', params per the TP/FSDP rules)")
+    ap.add_argument("--fsdp", type=int, default=1)
+    ap.add_argument("--tp", type=int, default=1)
     args = ap.parse_args(argv)
 
     model = load_gloria(args.ckpt)
+    if args.devices:
+        from .parallel.mesh import create_mesh
+
+        model.shard(create_mesh(n_devices=args.devices, fsdp=args.fsdp, tp=args.tp))
     if args.classes_json:
         with open(args.classes_json) as fh:
             classes = json.load(fh)

@@ -14,9 +14,8 @@ from gloria_tpu.evaluation import evaluate_zero_shot
 from gloria_tpu.models import GLoRIA
 
 
-def test_evaluate_zero_shot_end_to_end(tmp_path):
-    cv2 = pytest.importorskip("cv2")
-    cfg = Config({
+def _mini_cfg():
+    return Config({
         "model": {"gloria": {"temp1": 4.0, "temp2": 5.0, "temp3": 10.0},
                    "vision": {"model_name": "resnet_18"},
                    "text": {"embedding_dim": 32, "last_n_layers": 4, "agg_tokens": True,
@@ -28,6 +27,10 @@ def test_evaluate_zero_shot_end_to_end(tmp_path):
         "data": {"image": {"imsize": 64}, "text": {"word_num": 48}},
         "transforms": {"norm": "half", "random_crop": {"crop_size": 48}},
     })
+
+
+def _mini_model():
+    cfg = _mini_cfg()
     prompt_corpus = [p for v in api.generate_chexpert_class_prompts(5).values() for p in v]
     tok = WordPieceTokenizer.from_corpus(prompt_corpus)
     model = GLoRIA(cfg)
@@ -39,7 +42,12 @@ def test_evaluate_zero_shot_end_to_end(tmp_path):
         "word_assignment": np.eye(48, dtype=np.float32)[None],
     }
     variables = model.init(jax.random.PRNGKey(0), {k: jax.numpy.asarray(v) for k, v in batch.items()})
-    gm = api.GloriaModel(cfg, variables, tokenizer=tok)
+    return api.GloriaModel(cfg, variables, tokenizer=tok)
+
+
+def test_evaluate_zero_shot_end_to_end(tmp_path):
+    cv2 = pytest.importorskip("cv2")
+    gm = _mini_model()
 
     rng = np.random.RandomState(0)
     paths, labels = [], []
@@ -59,3 +67,36 @@ def test_evaluate_zero_shot_end_to_end(tmp_path):
     # z-normalized over the full image set
     np.testing.assert_allclose(res["class_scores"].mean(axis=0), 0, atol=1e-4)
     json.dumps({k: v for k, v in res.items() if k != "class_scores"})  # serializable
+
+
+def test_sharded_eval_matches_single_device():
+    """model.shard(mesh): dp×tp-sharded zero-shot == single-device scores,
+    including a batch (10) that does not divide the data axis (4 → padding)."""
+    from gloria_tpu.parallel.mesh import create_mesh
+
+    gm = _mini_model()
+    rng = np.random.RandomState(1)
+    imgs = (rng.rand(10, 64, 64) * 255).astype(np.uint8)
+
+    prompts = api.generate_chexpert_class_prompts(2)
+    classes = ["Edema", "Atelectasis"]
+    mapping = gm.process_class_prompts({c: prompts[c] for c in classes})
+
+    def scores(model):
+        x = model.process_img(list(imgs))
+        out = {}
+        for c in classes:
+            out[c] = model.get_similarities(x, mapping[c], "both").max(axis=1)
+        return out
+
+    base = scores(gm)
+    gm.shard(create_mesh(n_devices=8, fsdp=1, tp=2))
+    sharded = scores(gm)
+    for c in classes:
+        np.testing.assert_allclose(sharded[c], base[c], rtol=2e-4, atol=2e-5)
+
+    # evaluate_zero_shot runs end-to-end on the sharded model
+    labels = np.eye(2, dtype=np.float32)[np.arange(10) % 2]
+    res = evaluate_zero_shot(gm, [imgs[i] for i in range(10)], labels, classes,
+                             n_prompts=2, batch_size=4)
+    assert res["n_images"] == 10 and res["class_scores"].shape == (10, 2)

@@ -298,3 +298,29 @@ def test_serving_stats_window_bounded():
     # only the LAST 10 samples survive → p50 reflects recent traffic
     assert snap["latency"]["/x"]["n"] == 10
     assert snap["latency"]["/x"]["p50_ms"] > 90.0
+
+
+def test_sharded_engine_matches_single_device(engine):
+    """An engine over a mesh-sharded model (GloriaModel.shard) scores
+    identically to the single-device engine; buckets round up to a multiple
+    of the mesh's data axis so the image tower splits evenly."""
+    from gloria_tpu.parallel.mesh import create_mesh
+
+    imgs = _imgs(5)
+    base = engine.classify(imgs)
+    # fresh wrapper so .shard() does not mutate the shared fixture's model
+    gm2 = api.GloriaModel(engine.model.cfg, engine.model.variables,
+                          tokenizer=engine.model.tokenizer)
+    gm2.shard(create_mesh(n_devices=8))
+    eng2 = InferenceEngine(gm2, CLASSES, max_batch=8)
+    assert eng2._bucket(5) == 8  # pow2 bucket already divides the 8-way axis
+    np.testing.assert_allclose(eng2.classify(imgs), base, rtol=2e-4, atol=2e-4)
+
+    # non-dividing data axis (8 devices, tp=2 → data=4): bucket 1 rounds to 4
+    gm3 = api.GloriaModel(engine.model.cfg, engine.model.variables,
+                          tokenizer=engine.model.tokenizer)
+    gm3.shard(create_mesh(n_devices=8, tp=2))
+    eng3 = InferenceEngine(gm3, CLASSES, max_batch=8)
+    assert eng3._bucket(1) == 4
+    np.testing.assert_allclose(eng3.classify(imgs[:1]), base[:1],
+                               rtol=2e-4, atol=2e-4)
