@@ -168,3 +168,81 @@ def test_create_mesh_raises_on_too_few_devices():
 
     with pytest.raises(ValueError, match="device"):
         create_mesh(n_devices=len(jax.devices()) + 1)
+
+
+def test_sharded_checkpoint_cross_topology_restore(tmp_path):
+    """The operational pod→chip flow: step on a dp×fsdp×tp mesh, checkpoint
+    (the single-writer save gathers shards to host), restore WITHOUT a mesh
+    and continue training single-device — trajectory matches an all-
+    single-device run; the same checkpoint also reshards onto a different
+    mesh (pure dp=8)."""
+    from gloria_tpu.training.checkpoints import load_checkpoint, save_checkpoint
+
+    raw = make_synthetic_batch(batch_size=8, num_tokens=24, imsize=64, vocab_size=256)
+    cfg = tiny_cfg()
+
+    # reference trajectory: two single-device steps
+    model, s1, step1, _ = init_gloria(cfg, raw)
+    b1 = {k: jnp.asarray(v) for k, v in raw.items()}
+    ref1, _ = step1(s1, b1)
+    ref1_params = jax.device_get(ref1.params)  # step1 donates ref1's buffers
+    ref2, _ = step1(ref1, b1)
+    ref2_params = jax.device_get(ref2.params)
+
+    # step 1 on the mesh, then checkpoint the sharded TrainState
+    mesh = create_mesh(8, fsdp=2, tp=2)
+    with mesh:
+        model, s8, step8, _ = init_gloria(cfg, raw)
+        s8 = s8.replace(
+            params=shard_params(s8.params, mesh),
+            batch_stats=replicate(s8.batch_stats, mesh),
+            opt_state=shard_params(s8.opt_state, mesh),
+        )
+        new8, _ = step8(s8, shard_batch(b1, mesh))
+        assert any("model" in leaf.sharding.spec or "fsdp" in leaf.sharding.spec
+                   for leaf in jax.tree_util.tree_leaves(new8.params))  # really sharded
+        save_checkpoint(tmp_path / "ck", new8, cfg)
+
+    # restore with NO mesh in scope → plain host arrays grafted into a fresh
+    # state (s1's buffers were DONATED to step1 — use a new init as target)
+    model, s_fresh, _, _ = init_gloria(cfg, raw)
+    restored, _ = load_checkpoint(tmp_path / "ck", target=s_fresh)
+    cont = s_fresh.replace(
+        step=jnp.asarray(restored.step),
+        params=jax.tree_util.tree_map(jnp.asarray, restored.params),
+        batch_stats=jax.tree_util.tree_map(jnp.asarray, restored.batch_stats),
+        opt_state=jax.tree_util.tree_map(jnp.asarray, restored.opt_state),
+        rng=jnp.asarray(restored.rng),
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(ref1_params),
+                    jax.tree_util.tree_leaves(jax.device_get(cont.params))):
+        assert float(np.abs(np.asarray(a) - np.asarray(b)).max()) < 5e-4
+
+    # build the resharded copy from the restored HOST arrays (device_put from
+    # a device array can alias its source buffer, which step1 then donates)
+    mesh2 = create_mesh(8)  # pure dp
+    with mesh2:
+        resharded = cont.replace(
+            step=jnp.asarray(restored.step),
+            rng=jnp.asarray(restored.rng),
+            params=shard_params(restored.params, mesh2),
+            batch_stats=replicate(restored.batch_stats, mesh2),
+            opt_state=shard_params(restored.opt_state, mesh2),
+        )
+
+    cont2, m = step1(cont, b1)  # continues single-device
+    assert np.isfinite(float(m["loss"]))
+    worst = max(float(np.abs(np.asarray(a) - np.asarray(b)).max())
+                for a, b in zip(jax.tree_util.tree_leaves(ref2_params),
+                                jax.tree_util.tree_leaves(jax.device_get(cont2.params))))
+    assert worst < 1e-3, f"post-restore trajectory diverged: {worst}"
+
+    # and the same host checkpoint steps on the different topology
+    with mesh2:
+        model, _, step_dp, _ = init_gloria(cfg, raw)
+        re2, m2 = step_dp(resharded, shard_batch(b1, mesh2))
+    assert np.isfinite(float(m2["loss"]))
+    worst = max(float(np.abs(np.asarray(a) - np.asarray(b)).max())
+                for a, b in zip(jax.tree_util.tree_leaves(ref2_params),
+                                jax.tree_util.tree_leaves(jax.device_get(re2.params))))
+    assert worst < 1e-3, f"resharded trajectory diverged: {worst}"
