@@ -176,8 +176,12 @@ _CLINICAL_PHRASES += [
 ]
 _CLINICAL_PHRASES = list(dict.fromkeys(_CLINICAL_PHRASES))
 _CLINICAL_PHRASES.sort(key=len, reverse=True)  # longest-match alternation
+# (?<!\w)/(?!\w) instead of \b: phrases that END in a non-word char —
+# "mass/nodule (not otherwise specified)" — can never satisfy a trailing \b
+# before a space (non-word/non-word is not a boundary), so \b silently
+# dropped them to their fragments
 _CLINICAL_RE = re.compile(
-    r"\b(?:" + "|".join(re.escape(p).replace(r"\ ", r"\s+") for p in _CLINICAL_PHRASES) + r")\b",
+    r"(?<!\w)(?:" + "|".join(re.escape(p).replace(r"\ ", r"\s+") for p in _CLINICAL_PHRASES) + r")(?!\w)",
     re.IGNORECASE,
 )
 

@@ -426,8 +426,11 @@ class DynamicBatcher:
                 for _, fut in batch:
                     if not fut.done():
                         fut.set_exception(e)
-        if held is not None:
-            self._q.put(held)  # let close() flush its future
+        if held is not None and not held[1].done():
+            # fail it directly: close() may have already drained the queue
+            # (its join times out while this thread sits in a cold compile),
+            # so re-enqueueing could strand the future forever
+            held[1].set_exception(RuntimeError("DynamicBatcher closed"))
 
 
 # -- stdlib HTTP front end ----------------------------------------------------

@@ -114,16 +114,31 @@ class CheckpointManager:
                 (self.dir / f"{e['name']}.meta.json").unlink(missing_ok=True)
                 self.manifest["entries"].remove(e)
 
+    def _durable(self, name: str) -> bool:
+        """The manifest can name a checkpoint whose async background write
+        never finalized (hard kill mid-write: orbax writes to a tmp dir and
+        renames on completion, so the named dir simply doesn't exist)."""
+        return (self.dir / name).is_dir()
+
     def best(self) -> str | None:
-        scored = [e for e in self.manifest["entries"] if e["metric"] is not None]
+        scored = [e for e in self.manifest["entries"]
+                  if e["metric"] is not None and self._durable(e["name"])]
         if not scored:
-            return self.manifest.get("last") and str(self.dir / self.manifest["last"])
+            return self.last()
         sign = 1 if self.mode == "min" else -1
         best = min(scored, key=lambda e: sign * e["metric"])
         return str(self.dir / best["name"])
 
     def last(self) -> str | None:
-        return self.manifest.get("last") and str(self.dir / self.manifest["last"])
+        """Newest DURABLE checkpoint: falls back past a crash-orphaned
+        manifest 'last' to the most recent entry that exists on disk."""
+        names = [e["name"] for e in self.manifest["entries"]]
+        if self.manifest.get("last"):
+            names.append(self.manifest["last"])
+        for name in reversed(list(dict.fromkeys(names))):
+            if self._durable(name):
+                return str(self.dir / name)
+        return None
 
     def restore(self, path: str | Path, target: Any = None) -> tuple[Any, Config | None, dict]:
         self.wait()  # the requested checkpoint may still be in flight

@@ -53,11 +53,17 @@ def build_loss(cfg: Config) -> Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
 class SupervisedTask:
     """Shared machinery: jitted train/eval steps over (imgs, labels)."""
 
-    def __init__(self, model, loss_fn: Callable, tx: optax.GradientTransformation):
+    def __init__(self, model, loss_fn: Callable, tx: optax.GradientTransformation,
+                 accum_steps: int = 1):
         self.model = model
         self.loss_fn = loss_fn
         self.tx = tx
-        self.train_step = jax.jit(self._train_step, donate_argnums=(0,))
+        # accum_steps > 1: the trainer stacks G loader batches into [G, b, ...]
+        # and this step scans them (Lightning accumulate_grad_batches, same
+        # semantics as the pretrain path: grads averaged, BN stats per micro)
+        self.accum_steps = max(1, int(accum_steps))
+        step = self._train_step_accum if self.accum_steps > 1 else self._train_step
+        self.train_step = jax.jit(step, donate_argnums=(0,))
         self.eval_step = jax.jit(self._eval_step)
 
     def init_state(self, example_batch: dict, seed: int = 0) -> TrainState:
@@ -86,6 +92,41 @@ class SupervisedTask:
             opt_state=new_opt,
         )
         return new_state, {"loss": loss, "logits": logits}
+
+    def _train_step_accum(self, state: TrainState, batch: dict):
+        """One update from stacked micro-batches (leaves ``[G, b, ...]``);
+        G comes from the shape so the trainer's trailing-window flush
+        (G < accumulate_grad_batches) reuses this same function."""
+        def micro(carry, mb):
+            stats, grad_sum, loss_sum = carry
+
+            def loss_fn(params):
+                variables = {"params": params}
+                if stats is not None:
+                    variables["batch_stats"] = stats
+                logits, muts = self.model.apply(variables, mb["imgs"], train=True,
+                                                mutable=["batch_stats"])
+                loss = self.loss_fn(jnp.squeeze(logits), jnp.squeeze(mb["labels"]))
+                return loss, (logits, muts)
+
+            (loss, (logits, muts)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            grad_sum = jax.tree_util.tree_map(jnp.add, grad_sum, grads)
+            return (muts["batch_stats"], grad_sum, loss_sum + loss), logits
+
+        g = jax.tree_util.tree_leaves(batch)[0].shape[0]
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        (new_stats, grad_sum, loss_sum), logits = jax.lax.scan(
+            micro, (state.batch_stats, zeros, 0.0), batch)
+        grads = jax.tree_util.tree_map(lambda x: x / g, grad_sum)
+        updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=optax.apply_updates(state.params, updates),
+            batch_stats=new_stats,
+            opt_state=new_opt,
+        )
+        # callbacks see the LAST micro-batch (matching the trainer's contract)
+        return new_state, {"loss": loss_sum / g, "logits": logits[-1]}
 
     def _eval_step(self, state: TrainState, batch: dict):
         logits, _ = self._apply(state.params, state.batch_stats, batch["imgs"], False)

@@ -199,11 +199,15 @@ def make_pretrain_steps(
         zeros_metrics = jax.tree_util.tree_map(
             lambda sd: jnp.zeros(sd.shape, sd.dtype), metrics_shape)
         zeros_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        # window size from the stacked shape, NOT the configured accum_steps:
+        # the trainer flushes a trailing incomplete window (< accum_steps
+        # micro-batches) at epoch end with this same step function
+        g = jax.tree_util.tree_leaves(batch)[0].shape[0]
         (new_stats, grad_sum, metric_sum), _ = jax.lax.scan(
             micro, (state.batch_stats, zeros_grads, zeros_metrics),
-            (jnp.arange(accum_steps), batch))
-        grads = jax.tree_util.tree_map(lambda g: g / accum_steps, grad_sum)
-        metrics = jax.tree_util.tree_map(lambda m: m / accum_steps, metric_sum)
+            (jnp.arange(g), batch))
+        grads = jax.tree_util.tree_map(lambda x: x / g, grad_sum)
+        metrics = jax.tree_util.tree_map(lambda m: m / g, metric_sum)
         return _apply_grads(state, grads, metrics, new_stats)
 
     def eval_step(state: TrainState, batch: dict):

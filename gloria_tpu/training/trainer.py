@@ -59,15 +59,19 @@ class ProfileTrace(Callback):
         self.skip = skip
         self._active = False
         self._done = False
+        self._seen = 0  # completed optimizer steps, NOT batch_idx: under
+        # gradient accumulation batch_idx jumps by G and an exact
+        # batch_idx+1 == skip match would never fire
 
     def on_train_batch_end(self, trainer, state, metrics, batch, batch_idx):
         if self._done:
             return
+        self._seen += 1
         try:
-            if not self._active and batch_idx + 1 == self.skip:
+            if not self._active and self._seen >= self.skip:
                 jax.profiler.start_trace(self.log_dir)
                 self._active = True
-            elif self._active and batch_idx + 1 >= self.skip + self.steps:
+            elif self._active and self._seen >= self.skip + self.steps:
                 jax.block_until_ready(metrics["loss"])
                 jax.profiler.stop_trace()
                 self._active = False
@@ -263,6 +267,30 @@ class Trainer:
             device_losses = []  # keep on device; a per-step float() would
             # force a host sync and break JAX async dispatch
             microbuf: list = []
+            update_interval = int(self.cfg.train.update_interval or 100) if self.cfg.train else 100
+
+            def stack_window(bufs):
+                return jax.tree_util.tree_map(
+                    lambda *xs: np.stack(xs) if isinstance(xs[0], np.ndarray)
+                    else jax.numpy.stack(xs),
+                    *[_device_only(b) for b in bufs])
+
+            def after_step(metrics, batch, batch_idx):
+                nonlocal n
+                self.global_step += 1
+                n += 1
+                device_losses.append(metrics["loss"])
+                for cb in self.callbacks:
+                    cb.on_train_batch_end(self, state, metrics, batch, batch_idx)
+                # cadence keyed on completed optimizer steps, not batch_idx
+                # (under accumulation batch_idx advances G per step and
+                # batch_idx % interval == 0 would almost never fire)
+                if (n - 1) % update_interval == 0:
+                    host = {k: float(jax.device_get(v)) for k, v in metrics.items() if np.ndim(v) == 0}
+                    host["lr"] = self.scheduler.current_lr
+                    self.logger.log(host, self.global_step, "train")
+
+            batch_idx = -1
             for batch_idx, batch in enumerate(train_loader):
                 if max_batches is not None and batch_idx >= max_batches:
                     break
@@ -272,24 +300,22 @@ class Trainer:
                     microbuf.append(batch)
                     if len(microbuf) < self.accumulate_grad_batches:
                         continue  # keep filling the accumulation window
-                    stacked = jax.tree_util.tree_map(
-                        lambda *xs: np.stack(xs) if isinstance(xs[0], np.ndarray)
-                        else jax.numpy.stack(xs),
-                        *[_device_only(b) for b in microbuf])
+                    stacked = stack_window(microbuf)
                     batch, microbuf = microbuf[-1], []  # callbacks see the last micro-batch
                     state, metrics = self.train_step(state, stacked)
                 else:
                     state, metrics = self.train_step(state, _device_only(batch))
-                self.global_step += 1
-                n += 1
-                device_losses.append(metrics["loss"])
-                for cb in self.callbacks:
-                    cb.on_train_batch_end(self, state, metrics, batch, batch_idx)
-                update_interval = int(self.cfg.train.update_interval or 100) if self.cfg.train else 100
-                if batch_idx % update_interval == 0:
-                    host = {k: float(jax.device_get(v)) for k, v in metrics.items() if np.ndim(v) == 0}
-                    host["lr"] = self.scheduler.current_lr
-                    self.logger.log(host, self.global_step, "train")
+                after_step(metrics, batch, batch_idx)
+
+            if microbuf and not self.interrupted:
+                # Lightning semantics: the trailing incomplete window still
+                # steps at epoch end (grads averaged over the micro-batches
+                # that exist) — otherwise epochs shorter than G batches would
+                # silently train zero steps
+                stacked = stack_window(microbuf)
+                state, metrics = self.train_step(state, stacked)
+                after_step(metrics, microbuf[-1], batch_idx)
+                microbuf = []
 
             loss_sum = float(np.sum(jax.device_get(device_losses))) if device_losses else 0.0
             epoch_metrics = {"train_loss": loss_sum / max(n, 1), "epoch_time": time.time() - t0}

@@ -150,6 +150,15 @@ def main(cfg, args) -> dict:
     phase = (cfg.phase or "pretrain").lower()
     mesh = (create_mesh(fsdp=max(1, args.fsdp), tp=max(1, getattr(args, "tp", 1)))
             if jax.device_count() > 1 else None)
+    if mesh is not None and cfg.model and cfg.model.vision and cfg.model.vision.fused_bn:
+        # the fused bottleneck-tail pallas_call has no GSPMD partitioning rule
+        # and its [B,H,W,C]→[B·HW,C] flatten merges the dp-sharded batch dim
+        # with spatial dims — the exact hazard that aborted the dp×tp step for
+        # the flat-BN variant (models/norm.py NOTE). Single-chip only.
+        raise ValueError("--fused_bn is a single-chip knob: the fused Pallas "
+                         "bottleneck path does not shard over a device mesh "
+                         "(and loses end-to-end even on one chip — see "
+                         "docs/DESIGN.md). Drop --fused_bn for multi-device runs.")
 
     def to_device(batch):
         b = device_batch(batch)
@@ -253,7 +262,8 @@ def main(cfg, args) -> dict:
         task_cls = ClassificationTask if phase == "classification" else SegmentationTask
         model, patch = task_cls.build_model(cfg, gloria_variables=pretrained_vars)
         tx = optim.make_optimizer(cfg, grad_clip=float(cfg.lightning.trainer.gradient_clip_val or 0) or None)
-        task = task_cls(model, build_loss(cfg), tx)
+        accum = builder.accumulate_grad_batches(cfg)
+        task = task_cls(model, build_loss(cfg), tx, accum_steps=accum)
         example = dm.collate("train")([dm.dataset("train")[0]] * 2)
         state = task.init_state(example)
         if patch is not None:
@@ -262,7 +272,7 @@ def main(cfg, args) -> dict:
         if cfg.model.vision.freeze_cnn:
             labels = optim.partition_trainable(state.params, optim.trainable_predicate(cfg))
             tx = optim.freeze_wrap(tx, labels)
-            task = task_cls(model, build_loss(cfg), tx)
+            task = task_cls(model, build_loss(cfg), tx, accum_steps=accum)
             state = state.replace(opt_state=tx.init(state.params))
 
         def extractor(collected):

@@ -141,8 +141,9 @@ def test_return_attn_with_accum_is_rejected():
 
 
 def test_trainer_stacks_and_counts_optimizer_steps():
-    """Trainer-level wiring: 4 loader batches at accumulate_grad_batches=2 →
-    exactly 2 optimizer steps; a trailing partial window is dropped."""
+    """Trainer-level wiring: 5 loader batches at accumulate_grad_batches=2 →
+    2 full windows + the trailing single-batch window flushed at epoch end
+    (Lightning steps the incomplete window too) = exactly 3 optimizer steps."""
     from gloria_tpu.training.trainer import Trainer
 
     cfg = tiny_cfg(accum=2)
@@ -153,5 +154,24 @@ def test_trainer_stacks_and_counts_optimizer_steps():
     model, state, train_step, eval_step = init_gloria(cfg, raws[0])
     trainer = Trainer(cfg, train_step, eval_step)
     batches = [{k: np.asarray(v) for k, v in r.items()} for r in raws]
-    state = trainer.fit(state, batches)  # 5 batches → 2 full windows + 1 dropped
-    assert int(jax.device_get(state.step)) == 2
+    state = trainer.fit(state, batches)  # 2 full windows + 1 flushed partial
+    assert int(jax.device_get(state.step)) == 3
+
+
+def test_trainer_flushes_window_smaller_than_accum():
+    """Epochs with fewer batches than accumulate_grad_batches must still
+    train (regression: the window never filled and the epoch silently ran
+    ZERO optimizer steps while logging train_loss=0)."""
+    from gloria_tpu.training.trainer import Trainer
+
+    cfg = tiny_cfg(accum=4)
+    cfg.set_path("lightning.trainer.max_epochs", 1)
+    cfg.set_path("output_dir", "/tmp/test_accum_trainer_flush")
+    raws = [make_synthetic_batch(batch_size=8, num_tokens=24, imsize=64,
+                                 vocab_size=256, seed=s) for s in range(2)]
+    model, state, train_step, eval_step = init_gloria(cfg, raws[0])
+    trainer = Trainer(cfg, train_step, eval_step)
+    batches = [{k: np.asarray(v) for k, v in r.items()} for r in raws]
+    state = trainer.fit(state, batches)  # 2 < 4 → one flushed window of 2
+    assert int(jax.device_get(state.step)) == 1
+    assert trainer.global_step == 1

@@ -69,3 +69,23 @@ def test_async_protects_in_flight_unworthy_save(tmp_path):
     names = {e["name"] for e in mgr.manifest["entries"]}
     assert "step_00000002" not in names  # pruned once safely out of flight
     assert "step_00000001" in names
+
+
+def test_last_and_best_skip_crash_orphaned_manifest_entry(tmp_path):
+    """A hard kill mid-async-write leaves manifest 'last' naming a directory
+    that never finalized; last()/best() must fall back to the newest durable
+    checkpoint instead of handing --resume a nonexistent path."""
+    import shutil
+
+    mgr = CheckpointManager(tmp_path, monitor="val_loss", save_top_k=2)
+    state = {"w": np.arange(4.0)}
+    p1 = mgr.save(state, step=1, metrics={"val_loss": 1.0})
+    p2 = mgr.save(state, step=2, metrics={"val_loss": 0.5})
+    # simulate the crash window: step 2's directory vanished (tmp-dir rename
+    # never happened) but the manifest still points at it
+    shutil.rmtree(p2)
+    assert mgr.last() == p1
+    assert mgr.best() == p1
+    # a fresh manager reading the same manifest agrees
+    mgr2 = CheckpointManager(tmp_path, monitor="val_loss", save_top_k=2)
+    assert mgr2.last() == p1 and mgr2.best() == p1

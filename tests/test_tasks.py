@@ -183,3 +183,38 @@ def test_flatten_optimizer_matches_per_leaf_updates():
     u_bad, st = tx_guard.update(bad, tx_guard.init(params), params)
     assert all(np.all(np.asarray(l) == 0.0)
                for l in jax.tree_util.tree_leaves(u_bad))
+
+
+def test_classification_task_accumulation_matches_plain_step():
+    """accum_steps=G with G identical micro-batches ≡ the plain step on one
+    (grads averaged → same update; BN stats double-EMA like the pretrain
+    path), and a partial [1, b, ...] window (the trainer's epoch-end flush)
+    runs through the same jitted function."""
+    cfg = task_cfg()
+    cfg.set_path("train.optimizer.name", "SGD")   # linear in grads
+    cfg.set_path("train.momentum", 0.0)
+    model, _ = ClassificationTask.build_model(cfg)
+    tx = optim.make_optimizer(cfg, grad_clip=None)
+    rng = np.random.RandomState(0)
+    batch = {"imgs": jnp.asarray(rng.randn(4, 64, 64, 3).astype(np.float32)),
+             "labels": jnp.asarray((rng.rand(4, 3) > 0.5).astype(np.float32))}
+
+    plain = ClassificationTask(model, build_loss(cfg), tx)
+    s_plain = plain.init_state(batch)
+    s_plain, out_plain = plain.train_step(s_plain, batch)
+
+    accum = ClassificationTask(model, build_loss(cfg), tx, accum_steps=2)
+    s_accum = accum.init_state(batch)
+    stacked = jax.tree_util.tree_map(lambda x: jnp.stack([x, x]), batch)
+    s_accum, out_accum = accum.train_step(s_accum, stacked)
+
+    np.testing.assert_allclose(float(out_plain["loss"]), float(out_accum["loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(s_plain.params)),
+                    jax.tree_util.tree_leaves(jax.device_get(s_accum.params))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+    # trailing-window flush shape: [1, b, ...] through the same function
+    partial = jax.tree_util.tree_map(lambda x: x[None], batch)
+    s_accum, out_partial = accum.train_step(s_accum, partial)
+    assert np.isfinite(float(out_partial["loss"]))
+    assert out_partial["logits"].shape == out_plain["logits"].shape
