@@ -88,12 +88,22 @@ def _masked_softmax_f32(logits: jnp.ndarray, mask: jnp.ndarray, axis: int, out_d
     return jnp.where(mask, out, 0.0).astype(out_dtype)
 
 
+def _prepend_sink(regions: jnp.ndarray, sink: jnp.ndarray) -> jnp.ndarray:
+    """Prepend the learnable no-attention vector as source position 0 of
+    every batch row: [B, R, D] → [B, 1+R, D] (one definition — the sink
+    semantics must stay identical across the attention/matching paths)."""
+    row = jnp.broadcast_to(sink[None, None, :].astype(regions.dtype),
+                           (regions.shape[0], 1, regions.shape[2]))
+    return jnp.concatenate([row, regions], axis=1)
+
+
 def attention_fn(
     words: jnp.ndarray,
     regions: jnp.ndarray,
     temp1: float,
     word_mask: jnp.ndarray | None = None,
     sink: jnp.ndarray | None = None,
+    precision=None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Single-pair (aligned-batch) double-softmax attention.
 
@@ -104,16 +114,16 @@ def attention_fn(
     Returns (weighted_context [B, W, D], attn [B, W, R]) — attn excludes the
     sink column, matching reference ``attention_fn`` output.
     """
-    ctx = regions
-    if sink is not None:
-        ctx = jnp.concatenate([jnp.broadcast_to(sink[None, None, :], (ctx.shape[0], 1, ctx.shape[2])), ctx], axis=1)
-    raw = jnp.einsum("bsd,bwd->bsw", ctx, words, preferred_element_type=jnp.float32)
+    ctx = _prepend_sink(regions, sink) if sink is not None else regions
+    raw = jnp.einsum("bsd,bwd->bsw", ctx, words,
+                     preferred_element_type=jnp.float32, precision=precision)
     if word_mask is not None:
         a1 = masked_softmax(raw, word_mask[:, None, :], axis=-1)
     else:
         a1 = jax.nn.softmax(raw, axis=-1)
     a2 = jax.nn.softmax(temp1 * jnp.swapaxes(a1, 1, 2), axis=-1)  # [B, W, S]
-    weighted = jnp.einsum("bws,bsd->bwd", a2, ctx, preferred_element_type=jnp.float32)
+    weighted = jnp.einsum("bws,bsd->bwd", a2, ctx,
+                          preferred_element_type=jnp.float32, precision=precision)
     attn = a2[:, :, 1:] if sink is not None else a2
     return weighted, attn
 
@@ -165,11 +175,15 @@ def local_matching(
     B, R, _ = regions.shape
     f32 = jnp.float32
     cd = f32 if compute_dtype is None else compute_dtype
+    if need_diag_attn and T != B:
+        raise ValueError(
+            f"diagonal (t, t) attention is only defined for aligned batches; "
+            f"got {T} texts vs {B} images — pass need_diag_attn=False for "
+            f"rectangular matching")
     words = words.astype(f32)
     ctx = regions.astype(f32)
     if sink is not None:
-        sink_row = jnp.broadcast_to(sink.astype(f32)[None, None, :], (B, 1, D))
-        ctx = jnp.concatenate([sink_row, ctx], axis=1)
+        ctx = _prepend_sink(ctx, sink.astype(f32))
     S = ctx.shape[1]
     ctx_cd = ctx.astype(cd)
 
@@ -221,8 +235,9 @@ def local_matching(
             n_valid = jnp.maximum(mask_c.sum(-1), 1)[:, None]
             sims = jnp.log(jnp.maximum(e.sum(-1) / n_valid, EPS))
         elif agg == "max":
-            # eval convention (get_local_similarities): log(max_w exp(.)) over valid words
-            sims = jnp.log(jnp.maximum(jnp.where(mask_c[:, None, :], e, 0.0).max(-1), EPS))
+            # eval convention (get_local_similarities): log(max_w exp(.)) over
+            # valid words — e is already zeroed at masked positions above
+            sims = jnp.log(jnp.maximum(e.max(-1), EPS))
         else:
             raise ValueError(f"unknown aggregation: {agg}")
 
@@ -330,10 +345,7 @@ def local_loss(
     if use_fused and not need_flat:
         from .pallas.local_sim import fused_local_similarities
 
-        ctx = img_regions
-        if sink is not None:
-            srow = jnp.broadcast_to(sink[None, None, :], (B, 1, img_regions.shape[2]))
-            ctx = jnp.concatenate([srow, img_regions], axis=1)
+        ctx = _prepend_sink(img_regions, sink) if sink is not None else img_regions
         sims = fused_local_similarities(
             words, ctx, mask, float(temp1), float(temp2), agg, 8, 8, False)
         _, attn = attention_fn(words, img_regions, temp1, word_mask=mask, sink=sink)
@@ -421,6 +433,7 @@ def local_similarities_eval_diag(
     temp1: float = 4.0,
     temp2: float = 5.0,
     sink: jnp.ndarray | None = None,
+    precision="highest",
 ) -> jnp.ndarray:
     """diagonal(:func:`local_similarities_eval`) as an O(B) aligned program.
 
@@ -429,12 +442,16 @@ def local_similarities_eval_diag(
     the full [B, B] pairwise matrix for its diagonal costs a second
     local-matching program per step.  This computes just the aligned pairs
     with one :func:`attention_fn` pass: identical math, 1/B the FLOPs.
+    ``precision`` defaults to "highest" like :func:`local_similarities_eval`
+    — at the TPU default matmul precision the persisted sims drift ~4e-3
+    from the eval path instead of ~6e-5.
     """
     W = words.shape[1]
     mask = make_word_mask(cap_lens, W, "eval")
     words = words.astype(jnp.float32)
     weighted, _ = attention_fn(
-        words, img_regions.astype(jnp.float32), temp1, word_mask=mask, sink=sink)
+        words, img_regions.astype(jnp.float32), temp1, word_mask=mask,
+        sink=sink, precision=precision)
     dot = jnp.sum(words * weighted, axis=-1)  # [B, W]
     wn = jnp.sqrt(jnp.maximum(jnp.sum(words * words, axis=-1), 1e-12))
     cn = jnp.sqrt(jnp.maximum(jnp.sum(weighted * weighted, axis=-1), 1e-12))

@@ -71,8 +71,9 @@ def batch_localization_metrics(
         "attn_entropy": M.attention_entropy_np(ent_dist),
         "no_attn_weight": no_attn_weight,
     }
+    sorted_desc = -jnp.sort(-s, axis=-1)  # one sort shared by all thresholds
     for p in thresholds:
-        tk = M.topk_overlap_metrics(s, l, p)
+        tk = M.topk_overlap_metrics(s, l, p, sorted_desc=sorted_desc)
         out[f"precision_at_{p:f}"] = np.asarray(tk["precision"])
         out[f"recall_at_{p:f}"] = np.asarray(tk["recall"])
         out[f"f1_at_{p:f}"] = np.asarray(tk["f1"])

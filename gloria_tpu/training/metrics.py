@@ -68,16 +68,27 @@ def binary_average_precision(scores: jnp.ndarray, labels: jnp.ndarray) -> jnp.nd
     return jax.vmap(row)(flat_s, flat_l).reshape(scores.shape[:-1])
 
 
-def topk_overlap_metrics(scores: jnp.ndarray, labels: jnp.ndarray, fraction: float) -> dict:
+def topk_overlap_metrics(scores: jnp.ndarray, labels: jnp.ndarray, fraction: float,
+                         *, sorted_desc: jnp.ndarray | None = None) -> dict:
     """Threshold at the top-``fraction`` of pixels per row → precision /
     recall / F1 / IoU (the callback's P@k/R@k/F1@k/IoU@k family,
-    callbacks.py:26-70)."""
+    callbacks.py:26-70).
+
+    Reference semantics exactly (callbacks.py:53-60): ``k = int(P·fraction)``
+    (floor — k=0 predicts NOTHING, not one pixel), threshold = the (k+1)-th
+    largest score (``topk(total-k, largest=False).max()``), prediction =
+    strictly ``>`` threshold (the reference's own IoU line; under ties at the
+    threshold this selects FEWER than k, never more — torchmetrics' ``>=``
+    binarization in its pr/re call is the reference's internal inconsistency,
+    and the strict form is the one its source spells out)."""
     P = scores.shape[-1]
-    k = max(1, int(round(P * fraction)))
+    k = int(P * fraction)
     flat_s = scores.reshape(-1, P)
     flat_l = labels.reshape(-1, P).astype(jnp.float32)
-    thresh = -jnp.sort(-flat_s, axis=-1)[:, k - 1 : k]
-    pred = (flat_s >= thresh).astype(jnp.float32)
+    if sorted_desc is None:  # callers with several fractions pass one sort
+        sorted_desc = -jnp.sort(-flat_s, axis=-1)
+    thresh = sorted_desc[:, k : k + 1]
+    pred = (flat_s > thresh).astype(jnp.float32)
     tp = (pred * flat_l).sum(-1)
     fp = (pred * (1 - flat_l)).sum(-1)
     fn = ((1 - pred) * flat_l).sum(-1)
@@ -95,19 +106,28 @@ def topk_overlap_metrics(scores: jnp.ndarray, labels: jnp.ndarray, fraction: flo
 
 
 def classification_metrics(y: np.ndarray, prob: np.ndarray) -> dict:
-    """Mean per-class AUROC/AUPRC with the reference's NaN guard
-    (classification_model.py:89-105)."""
+    """Mean per-class AUROC/AUPRC with the reference's NaN→0 guard
+    (classification_model.py:89-105).
+
+    One documented deviation: a single-class column (all-positive or
+    all-negative labels) CRASHES the reference inside ``roc_auc_score``
+    (its guard only checks NaN probabilities). Here AUROC falls back to 0
+    for such a column instead of raising, while AUPRC stays the sklearn
+    value (``average_precision_score`` is well-defined for single-class
+    input — 1.0 all-positive, 0.0 all-negative — and matches what the
+    reference would report had it survived the AUROC call)."""
     from sklearn.metrics import average_precision_score, roc_auc_score
 
     auroc_list, auprc_list = [], []
     for i in range(y.shape[1]):
         y_cls, prob_cls = y[:, i], prob[:, i]
-        if np.isnan(prob_cls).any() or len(np.unique(y_cls)) < 2:
+        if np.isnan(prob_cls).any():
             auprc_list.append(0)
             auroc_list.append(0)
         else:
             auprc_list.append(average_precision_score(y_cls, prob_cls))
-            auroc_list.append(roc_auc_score(y_cls, prob_cls))
+            auroc_list.append(roc_auc_score(y_cls, prob_cls)
+                              if len(np.unique(y_cls)) > 1 else 0)
     return {"auroc": float(np.mean(auroc_list)), "auprc": float(np.mean(auprc_list))}
 
 
