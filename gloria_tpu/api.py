@@ -57,9 +57,12 @@ def available_segmentation_models() -> list[str]:
 class GloriaModel:
     """Bundled model + params + tokenizer with the reference's instance API."""
 
-    def __init__(self, cfg: Config, variables: dict, tokenizer: WordPieceTokenizer | None = None):
+    def __init__(self, cfg: Config, variables: dict, tokenizer: WordPieceTokenizer | None = None,
+                 dtype=jnp.float32):
         self.cfg = cfg
-        self.model = GLoRIA(cfg)
+        # ``dtype`` is the compute dtype of the served forward (params stay
+        # f32); pass bf16 for serving throughput, keep f32 for parity paths
+        self.model = GLoRIA(cfg, dtype=dtype)
         self.variables = variables
         self.tokenizer = tokenizer or load_tokenizer(
             bert_type=cfg.model.text.bert_type if cfg.model and cfg.model.text else None,
@@ -173,13 +176,18 @@ class GloriaModel:
     def get_local_similarities(self, img_emb_l, text_emb_l, cap_lens) -> np.ndarray:
         sink = self.variables["params"].get("no_attn_vec")
         g = (self.cfg.model.gloria if self.cfg.model else None) or Config()
-        # fused_kernel: True/False pins the path; unset → auto (Pallas on TPU,
-        # except on a mesh: pallas_call has no GSPMD partitioning rule, so the
-        # sharded path stays on the XLA program and lets the compiler split it)
+        # fused_kernel: True/False pins the path; unset → auto (Pallas on TPU)
         use_fused = (gloria_loss.fused_eval_default() if g.fused_kernel is None
                      else bool(g.fused_kernel))
-        if self.mesh is not None:
-            use_fused = False
+        if self.mesh is not None and use_fused:
+            # pallas_call has no GSPMD rule; shard_map runs the kernel on each
+            # device's row block of the [B_img, T] matrix (rows independent
+            # given replicated text) so sharded eval keeps the 2.42× kernel
+            return np.asarray(gloria_loss.local_similarities_eval_sharded(
+                img_emb_l, text_emb_l, jnp.asarray(cap_lens),
+                mesh=self.mesh, temp1=4.0, temp2=5.0, sink=sink,
+                use_fused=True,
+            ))
         return np.asarray(gloria_loss.local_similarities_eval(
             img_emb_l, text_emb_l, jnp.asarray(cap_lens),
             temp1=4.0, temp2=5.0, sink=sink,  # hardcoded in the reference eval path

@@ -506,6 +506,72 @@ def local_similarities_eval(
     return m.similarities
 
 
+def local_similarities_eval_sharded(
+    img_regions: jnp.ndarray,
+    words: jnp.ndarray,
+    cap_lens: jnp.ndarray,
+    *,
+    mesh,
+    temp1: float = 4.0,
+    temp2: float = 5.0,
+    sink: jnp.ndarray | None = None,
+    use_fused: bool = True,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Mesh-sharded eval similarities [B_img, T_text] over the ``data`` axis.
+
+    Rows of the similarity matrix are independent given replicated text
+    embeddings, so each device computes its row block of the matrix with the
+    full (fused Pallas or XLA) program under ``jax.shard_map`` — the manual
+    SPMD escape hatch for ``pallas_call``, which has no GSPMD partitioning
+    rule.  Image batches that don't divide the data axis are padded with
+    repeated rows and sliced back (same policy as the sharded image tower,
+    ``api.GloriaModel.encode_images``).  Matches the reference's
+    single-device ``get_local_similarities``
+    (``gloria/models/gloria_model.py:171-207``) numerically.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n = mesh.shape["data"]
+    B = img_regions.shape[0]
+    pad = (-B) % n
+    if pad:
+        img_regions = jnp.concatenate(
+            [img_regions, jnp.repeat(img_regions[-1:], pad, axis=0)], axis=0)
+
+    cap_lens = jnp.asarray(cap_lens)
+    has_sink = sink is not None
+    row_spec = P("data", None, None)
+    rep = P()
+
+    def block(regions_blk, words_rep, lens_rep, sink_rep):
+        s = sink_rep if has_sink else None
+        if use_fused:
+            from .pallas.local_sim import local_similarities_fused
+
+            return local_similarities_fused(
+                regions_blk, words_rep, lens_rep, temp1=temp1, temp2=temp2,
+                agg="max", convention="eval", sink=s, interpret=interpret)
+        return local_similarities_eval(
+            regions_blk, words_rep, lens_rep, temp1=temp1, temp2=temp2, sink=s)
+
+    sharded = jax.shard_map(
+        block, mesh=mesh,
+        in_specs=(row_spec, rep, rep, rep),
+        out_specs=P("data", None),
+        check_vma=False,  # pallas_call defeats replication inference
+    )
+    # replicate the small operands explicitly so shard_map sees committed
+    # shardings (host arrays would otherwise be re-committed per trace)
+    words = jax.device_put(words, NamedSharding(mesh, rep))
+    cap_lens = jax.device_put(cap_lens, NamedSharding(mesh, rep))
+    sink_arg = (jax.device_put(sink, NamedSharding(mesh, rep)) if has_sink
+                else jnp.zeros((words.shape[-1],), words.dtype))
+    img_regions = jax.device_put(img_regions, NamedSharding(mesh, row_spec))
+    out = sharded(img_regions, words, cap_lens, sink_arg)
+    return out[:B] if pad else out
+
+
 def attention_entropy(attn: jnp.ndarray, eps: float = EPS) -> jnp.ndarray:
     p = jnp.maximum(attn, eps)
     return -jnp.sum(p * jnp.log(p), axis=-1)

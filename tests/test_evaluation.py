@@ -100,3 +100,50 @@ def test_sharded_eval_matches_single_device():
     res = evaluate_zero_shot(gm, [imgs[i] for i in range(10)], labels, classes,
                              n_prompts=2, batch_size=4)
     assert res["n_images"] == 10 and res["class_scores"].shape == (10, 2)
+
+
+def test_sharded_fused_eval_matches_sharded_xla():
+    """shard_map'd Pallas eval kernel ≡ the GSPMD XLA program on a mesh.
+
+    Rows of the [B_img, T] matrix are independent given replicated text, so
+    per-device kernel calls over the 'data' axis must reproduce the sharded
+    XLA scores (bf16 kernel tolerance) — including a batch that does not
+    divide the data axis (padding path)."""
+    from gloria_tpu.ops import gloria_loss
+    from gloria_tpu.parallel.mesh import create_mesh
+
+    mesh = create_mesh(n_devices=8, fsdp=1, tp=1)
+    rng = np.random.RandomState(3)
+    for B, T, W, R, D, sink_on in ((16, 6, 12, 9, 32, True), (10, 5, 12, 9, 32, False)):
+        regions = jax.numpy.asarray(rng.randn(B, R, D).astype(np.float32))
+        words = jax.numpy.asarray(rng.randn(T, W, D).astype(np.float32))
+        lens = jax.numpy.asarray(rng.randint(2, W - 1, size=T))
+        sink = jax.numpy.asarray(rng.randn(D).astype(np.float32)) if sink_on else None
+
+        ref = np.asarray(gloria_loss.local_similarities_eval(
+            regions, words, lens, temp1=4.0, temp2=5.0, sink=sink))
+        xla_sharded = np.asarray(gloria_loss.local_similarities_eval_sharded(
+            regions, words, lens, mesh=mesh, sink=sink, use_fused=False))
+        fused_sharded = np.asarray(gloria_loss.local_similarities_eval_sharded(
+            regions, words, lens, mesh=mesh, sink=sink, use_fused=True))
+        np.testing.assert_allclose(xla_sharded, ref, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(fused_sharded, xla_sharded, rtol=2e-2, atol=2e-2)
+
+
+def test_api_sharded_fused_scores_match():
+    """GloriaModel.shard + fused_kernel=True routes through shard_map and
+    reproduces the unsharded XLA-path scores end-to-end."""
+    from gloria_tpu.parallel.mesh import create_mesh
+
+    gm = _mini_model()
+    rng = np.random.RandomState(5)
+    imgs = (rng.rand(6, 64, 64) * 255).astype(np.uint8)
+    prompts = api.generate_chexpert_class_prompts(2)
+    mapping = gm.process_class_prompts({"Edema": prompts["Edema"]})["Edema"]
+
+    x = gm.process_img(list(imgs))
+    base = gm.get_similarities(x, mapping, "local")
+    gm.cfg.set_path("model.gloria.fused_kernel", True)
+    gm.shard(create_mesh(n_devices=8, fsdp=1, tp=1))
+    fused = gm.get_similarities(gm.process_img(list(imgs)), mapping, "local")
+    np.testing.assert_allclose(fused, base, rtol=2e-2, atol=2e-2)
