@@ -69,7 +69,7 @@ def device_peak_flops() -> float | None:
 
 def build(smoke: bool, batch_override: int | None = None, loss_chunk: int = 0,
           fused: bool = False, fused_bn: bool = False, flatten_opt: bool = False,
-          input_size: int | None = None, accum: int = 1):
+          input_size: int | None = None, accum: int = 1, spd: int = 1):
     import jax
     import jax.numpy as jnp
 
@@ -112,16 +112,20 @@ def build(smoke: bool, batch_override: int | None = None, loss_chunk: int = 0,
 
     if accum > 1:
         cfg.set_path("lightning.trainer.accumulate_grad_batches", accum)
+    if spd > 1:
+        cfg.set_path("train.steps_per_dispatch", spd)
 
     raw = make_synthetic_batch(batch_size=batch_size, num_tokens=tokens, imsize=imsize,
                                vocab_size=cfg.model.text.bert_config["vocab_size"])
     dtype = jnp.float32 if smoke else jnp.bfloat16
     model, state, train_step, _ = init_gloria(cfg, raw, dtype=dtype, loss_chunk=loss_chunk)
     batch = {k: jnp.asarray(v) for k, v in raw.items()}
-    if accum > 1:  # stacked [G, b, ...] micro-batches; pairs/step = G·b
+    window = max(accum, spd)  # accum: [G,b] micro-batches, one update;
+    # spd: [K,b] full batches, K updates (device-resident loop)
+    if window > 1:
         batch = jax.tree_util.tree_map(
-            lambda x: jnp.broadcast_to(x[None], (accum,) + x.shape), batch)
-        batch_size *= accum
+            lambda x: jnp.broadcast_to(x[None], (window,) + x.shape), batch)
+        batch_size *= window
     return state, batch, train_step, batch_size
 
 
@@ -156,6 +160,95 @@ def measure(state, batch, train_step, batch_size: int, steps: int, warmup: int =
     return rates[len(rates) // 2], mean_loss
 
 
+def run_sustained(args) -> int:
+    """Overlapped host-loader + device steady state (VERDICT r3 item 5):
+    a raw uint8-image/report-text corpus flows through the production path —
+    GloriaCollate (native C++ fused ingest when built) on the PrefetchLoader
+    thread, device_put, jitted train step — and the measured rate is the
+    slower of the two planes plus whatever overlap hides.  The headline
+    bench times a pre-staged device batch (device plane only); this mode
+    turns the 'a real run on this 1-core box is host-bound' caveat into a
+    number."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
+
+    from gloria_tpu.builder import default_pretrain_config, init_gloria
+    from gloria_tpu.data.collate import GloriaCollate, device_batch
+    from gloria_tpu.data.loader import PrefetchLoader
+    from gloria_tpu.data.synthetic import make_synthetic_batch
+    from gloria_tpu.data.tokenizer import WordPieceTokenizer
+
+    cfg = default_pretrain_config()
+    cfg.set_path("data.native_ingest", True)  # fused letterbox+crop+flip+norm
+    batch_size = args.batch_size or 48
+
+    # raw corpus: distinct uint8 images + short reports (tokenized for real)
+    rng = np.random.RandomState(0)
+    vocab_words = ["opacity", "effusion", "lung", "left", "right", "base",
+                   "clear", "consolidation", "pleural", "cardiac", "normal",
+                   "silhouette", "focal", "airspace", "unremarkable"]
+    n_items = max(8 * batch_size, 256)
+    corpus = []
+    for i in range(n_items):
+        words = [vocab_words[j] for j in rng.randint(0, len(vocab_words), size=rng.randint(8, 24))]
+        corpus.append({
+            "image": rng.randint(0, 256, (320, 300), dtype=np.uint8),
+            "report": " ".join(words) + ".",
+            "id": i,
+        })
+    tok = WordPieceTokenizer.from_corpus([c["report"] for c in corpus])
+    collate = GloriaCollate(cfg, "train", tok, seed=0)
+
+    # init/compile from one host-collated batch (identical shapes)
+    first = collate(corpus[:batch_size])
+    raw = {k: v for k, v in first.items() if not k.startswith("_")}
+    model, state, train_step, _ = init_gloria(cfg, raw, dtype=jnp.bfloat16,
+                                              loss_chunk=args.loss_chunk)
+
+    def to_device(b):
+        return {k: jnp.asarray(v) for k, v in device_batch(b).items()}
+
+    loader = PrefetchLoader(corpus, lambda items: collate(items),
+                            batch_size=batch_size, shuffle=True, seed=1,
+                            num_workers=4, prefetch=2, to_device=to_device)
+
+    def stream():
+        while True:
+            yield from loader
+
+    it = stream()
+    for _ in range(3):  # compile + warm (loader thread starts filling)
+        state, metrics = train_step(state, next(it))
+    float(metrics["loss"])
+
+    steps = args.steps
+    losses = []
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = train_step(state, next(it))
+        losses.append(metrics["loss"])
+    total = float(jnp.stack(losses).sum())  # honest wall: every step's value
+    dt = time.perf_counter() - t0
+    pairs_per_sec = batch_size * steps / dt
+    record = {
+        "metric": "pretrain_pairs_per_sec_sustained",
+        "value": round(pairs_per_sec, 3),
+        "unit": "pairs/sec",
+        "vs_baseline": round(pairs_per_sec / CPU_BASELINE_PAIRS_PER_SEC, 3),
+        "native_ingest": bool(collate.native_ingest),
+        "batch": batch_size,
+    }
+    print(json.dumps(record))
+    return 0 if (total / steps) == (total / steps) else 1
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true")
@@ -182,18 +275,28 @@ def main() -> int:
                     help="override the encoder upsample size (reference: 299; "
                          "304 keeps the 19x19 attention grid on tile-aligned "
                          "spatial dims; 224 skips the upsample, 14x14 grid)")
+    ap.add_argument("--steps-per-dispatch", type=int, default=1,
+                    help="device-resident loop K: run K FULL train steps "
+                         "(K optimizer updates — reference semantics, unlike "
+                         "--accum) per dispatch from K stacked batches")
+    ap.add_argument("--sustained", action="store_true",
+                    help="measure the overlapped steady state: host loader "
+                         "(collate + prefetch thread) feeding the device step, "
+                         "instead of a pre-staged device batch")
     args = ap.parse_args()
 
     if args.cpu_baseline:
         import jax
         jax.config.update("jax_platforms", "cpu")
+    if args.sustained:
+        return run_sustained(args)
 
     state, batch, train_step, bs = build(args.smoke, args.batch_size, args.loss_chunk,
                                          args.fused, args.fused_bn, args.flatten_opt,
-                                         args.input_size, args.accum)
-    # no MFU under --accum: XLA cost analysis counts the accumulation scan's
-    # body ONCE regardless of trip count, undercounting FLOPs by ~G
-    flops = (None if (args.smoke or args.cpu_baseline or args.accum > 1)
+                                         args.input_size, args.accum,
+                                         args.steps_per_dispatch)
+    window = max(args.accum, args.steps_per_dispatch)
+    flops = (None if (args.smoke or args.cpu_baseline)
              else step_flops(train_step, state, batch))
     steps = args.steps if not args.cpu_baseline else 2
     warmup = 1 if (args.cpu_baseline or args.smoke) else 3
@@ -214,8 +317,11 @@ def main() -> int:
     peak = None if flops is None else device_peak_flops()
     if flops and peak:
         # model FLOPs utilization: XLA-counted FLOPs of the compiled step ×
-        # measured steps/sec over the device's bf16 peak
-        record["mfu"] = round(flops * (pairs_per_sec / bs) / peak, 4)
+        # measured dispatches/sec over the device's bf16 peak.  Under a
+        # window (--accum G / --steps-per-dispatch K) XLA counts the scan
+        # body ONCE, so the analytic per-dispatch FLOPs are ×window (the
+        # once-counted optimizer tail is ~0.1% of body FLOPs — negligible)
+        record["mfu"] = round(flops * window * (pairs_per_sec / bs) / peak, 4)
     print(json.dumps(record))
     if not (loss == loss):  # NaN guard
         print(f"non-finite loss: {loss}", file=sys.stderr)

@@ -104,8 +104,17 @@ def init_gloria(cfg: Config, batch: dict, seed: int = 0, dtype=jnp.float32,
     train_step, eval_step = make_pretrain_steps(
         model, tx, return_attn=return_attn, loss_chunk=loss_chunk,
         dropout_impl=(cfg.train.dropout_rng if cfg.train else None) or "rbg",
-        accum_steps=accumulate_grad_batches(cfg))
+        accum_steps=accumulate_grad_batches(cfg),
+        steps_per_dispatch=steps_per_dispatch(cfg))
     return model, state, train_step, eval_step
+
+
+def steps_per_dispatch(cfg: Config) -> int:
+    """``train.steps_per_dispatch`` K: run K full train steps (K optimizer
+    updates — reference semantics) per XLA dispatch from K stacked loader
+    batches; amortizes per-dispatch host overhead (see
+    ``training.train.make_pretrain_steps``)."""
+    return max(1, int((cfg.train.steps_per_dispatch if cfg.train else None) or 1))
 
 
 def accumulate_grad_batches(cfg: Config) -> int:

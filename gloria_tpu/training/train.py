@@ -50,7 +50,7 @@ def create_train_state(
 def make_pretrain_steps(
     model: GLoRIA, tx: optax.GradientTransformation, *, loss_chunk: int = 0,
     donate: bool = True, return_attn: bool = False, dropout_impl: str = "rbg",
-    accum_steps: int = 1,
+    accum_steps: int = 1, steps_per_dispatch: int = 1,
 ) -> tuple[Callable, Callable]:
     """Returns (train_step(state, batch) -> (state, metrics),
                 eval_step(state, batch) -> metrics).  Metrics include the
@@ -67,13 +67,30 @@ def make_pretrain_steps(
     span micro-batches — same as Lightning; use real large batches +
     ``loss_chunk`` when large-batch InfoNCE semantics are wanted).  Peak
     activation memory stays that of one micro-batch, so G scales the
-    effective Adam batch far past HBM limits."""
+    effective Adam batch far past HBM limits.
+
+    ``steps_per_dispatch=K > 1`` is the *device-resident* loop: the train
+    step takes K stacked loader batches ``[K, b, ...]`` and runs K FULL
+    train steps — K forward/backward passes AND K optimizer updates — inside
+    one ``lax.scan``, i.e. one XLA dispatch.  Unlike accumulation this
+    preserves the reference's semantics exactly (one Adam update per batch
+    of b pairs); it only amortizes the per-dispatch host cost (Python
+    dispatch + tunnel round-trip + the unfused optimizer tail) over K steps.
+    Metrics are averaged over the window.  Mutually exclusive with
+    ``accum_steps`` and ``return_attn`` (per-step attention/sims would need
+    per-step host readback, defeating the point — keep K=1 for callback
+    cadences)."""
     if accum_steps > 1 and return_attn:
         raise ValueError(
             "accumulate_grad_batches > 1 is not supported together with "
             "train-time attention callbacks (return_attn): per-sample attention "
             "rows would span micro-batches. Run EvaluateLocalization on the "
             "val/test loaders instead.")
+    if steps_per_dispatch > 1 and (accum_steps > 1 or return_attn):
+        raise ValueError(
+            "steps_per_dispatch > 1 composes with neither "
+            "accumulate_grad_batches > 1 nor train-time attention callbacks "
+            "(return_attn); run those at K=1.")
 
     def loss_from_outputs(params, stats, batch, outs):
         img_l, img_g, txt_l, txt_g, grid = outs
@@ -210,6 +227,23 @@ def make_pretrain_steps(
         metrics = jax.tree_util.tree_map(lambda m: m / g, metric_sum)
         return _apply_grads(state, grads, metrics, new_stats)
 
+    def train_step_multi(state: TrainState, batch: dict):
+        """K device-resident train steps in one dispatch (leaves [K, b, ...]);
+        K optimizer updates — reference semantics, unlike accumulation."""
+
+        def body(st, mb):
+            return train_step(st, mb)
+
+        state, metrics = jax.lax.scan(body, state, batch)
+        # scalar metrics (loss terms, grad_norm) → window mean; the nonfinite
+        # counter is monotone in the opt state, so its window mean is between
+        # the first and last step values — report the last instead
+        metrics = jax.tree_util.tree_map(lambda m: m.mean(0), metrics)
+        if "nonfinite_steps" in metrics:
+            metrics["nonfinite_steps"] = optax.tree_utils.tree_get(
+                state.opt_state, "total_notfinite")
+        return state, metrics
+
     def eval_step(state: TrainState, batch: dict):
         outs = model.apply(state.variables(), batch, train=False)
         loss, metrics, attn = loss_from_outputs(state.params, state.batch_stats, batch, outs)
@@ -220,7 +254,8 @@ def make_pretrain_steps(
         metrics["_global_sims"] = glo
         return metrics
 
-    step_fn = train_step_accum if accum_steps > 1 else train_step
+    step_fn = (train_step_accum if accum_steps > 1
+               else train_step_multi if steps_per_dispatch > 1 else train_step)
     jit_train = jax.jit(step_fn, donate_argnums=(0,) if donate else ())
     jit_eval = jax.jit(eval_step)
     return jit_train, jit_eval

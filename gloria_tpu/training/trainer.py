@@ -142,6 +142,13 @@ class Trainer:
         # [G, b, ...] step input; the jitted step (built with the matching
         # accum_steps) scans the micro-batches and applies ONE update
         self.accumulate_grad_batches = max(1, int(trainer_cfg.accumulate_grad_batches or 1))
+        # device-resident loop: stack K loader batches into one [K, b, ...]
+        # dispatch that runs K FULL train steps (K optimizer updates —
+        # reference semantics, unlike accumulation); amortizes per-dispatch
+        # host overhead.  Mutually exclusive with accumulation — the step
+        # builder (``make_pretrain_steps``) rejects the combination.
+        self.steps_per_dispatch = max(
+            1, int((cfg.train.steps_per_dispatch if cfg.train else None) or 1))
         self.check_val_every_n_epoch = int(trainer_cfg.check_val_every_n_epoch or 1)
         self.logger = logger or MetricLogger(cfg.output_dir)
         self.checkpoints = checkpoints
@@ -275,17 +282,23 @@ class Trainer:
                     else jax.numpy.stack(xs),
                     *[_device_only(b) for b in bufs])
 
-            def after_step(metrics, batch, batch_idx):
+            def after_step(metrics, batch, batch_idx, opt_steps: int = 1):
                 nonlocal n
-                self.global_step += 1
-                n += 1
-                device_losses.append(metrics["loss"])
+                prev = n
+                self.global_step += opt_steps
+                n += opt_steps
+                # under steps_per_dispatch metrics["loss"] is the window MEAN;
+                # weight by the window's step count so the epoch mean stays a
+                # per-optimizer-step mean (lazy device op, no host sync)
+                device_losses.append(metrics["loss"] * opt_steps if opt_steps > 1
+                                     else metrics["loss"])
                 for cb in self.callbacks:
                     cb.on_train_batch_end(self, state, metrics, batch, batch_idx)
                 # cadence keyed on completed optimizer steps, not batch_idx
                 # (under accumulation batch_idx advances G per step and
-                # batch_idx % interval == 0 would almost never fire)
-                if (n - 1) % update_interval == 0:
+                # batch_idx % interval == 0 would almost never fire); a
+                # K-step dispatch fires if ANY step in its window is on cadence
+                if any(j % update_interval == 0 for j in range(prev, n)):
                     host = {k: float(jax.device_get(v)) for k, v in metrics.items() if np.ndim(v) == 0}
                     host["lr"] = self.scheduler.current_lr
                     self.logger.log(host, self.global_step, "train")
@@ -296,25 +309,35 @@ class Trainer:
                     break
                 if self.interrupted:
                     break
-                if self.accumulate_grad_batches > 1:
+                window = (self.accumulate_grad_batches
+                          if self.accumulate_grad_batches > 1
+                          else self.steps_per_dispatch)
+                if window > 1:
                     microbuf.append(batch)
-                    if len(microbuf) < self.accumulate_grad_batches:
-                        continue  # keep filling the accumulation window
+                    if len(microbuf) < window:
+                        continue  # keep filling the window
                     stacked = stack_window(microbuf)
-                    batch, microbuf = microbuf[-1], []  # callbacks see the last micro-batch
+                    k = len(microbuf)
+                    batch, microbuf = microbuf[-1], []  # callbacks see the last batch
                     state, metrics = self.train_step(state, stacked)
+                    after_step(metrics, batch, batch_idx,
+                               opt_steps=(k if self.steps_per_dispatch > 1 else 1))
                 else:
                     state, metrics = self.train_step(state, _device_only(batch))
-                after_step(metrics, batch, batch_idx)
+                    after_step(metrics, batch, batch_idx)
 
             if microbuf and not self.interrupted:
                 # Lightning semantics: the trailing incomplete window still
-                # steps at epoch end (grads averaged over the micro-batches
-                # that exist) — otherwise epochs shorter than G batches would
-                # silently train zero steps
+                # steps at epoch end (accumulation: grads averaged over the
+                # micro-batches that exist; steps_per_dispatch: a K'<K scan —
+                # one extra compile for the trailing shape, K' real updates) —
+                # otherwise epochs shorter than the window would silently
+                # train zero steps
                 stacked = stack_window(microbuf)
+                k = len(microbuf)
                 state, metrics = self.train_step(state, stacked)
-                after_step(metrics, microbuf[-1], batch_idx)
+                after_step(metrics, microbuf[-1], batch_idx,
+                           opt_steps=(k if self.steps_per_dispatch > 1 else 1))
                 microbuf = []
 
             loss_sum = float(np.sum(jax.device_get(device_losses))) if device_losses else 0.0

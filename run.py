@@ -59,6 +59,13 @@ def get_parser() -> argparse.ArgumentParser:
                         "batches per optimizer step (grads averaged, BN stats "
                         "per micro-batch; contrastive negatives stay per-"
                         "micro-batch, as in Lightning)")
+    p.add_argument("--steps_per_dispatch", type=int, default=None,
+                   help="device-resident loop K (pretrain only): run K FULL "
+                        "train steps (K optimizer updates — reference "
+                        "semantics, unlike --accumulate_grad_batches) per XLA "
+                        "dispatch from K stacked loader batches; amortizes "
+                        "per-dispatch host overhead. Incompatible with "
+                        "accumulation and train-time attention callbacks")
     p.add_argument("--loss_chunk", type=int, default=None,
                    help="text-chunk size for the O(B²) pairwise loss (scan+remat); "
                         "default: batch-keyed auto (unchunked ≤128, chunk=8 above)")
@@ -110,6 +117,8 @@ def apply_overrides(cfg, args) -> None:
     if args.accumulate_grad_batches is not None:
         cfg.set_path("lightning.trainer.accumulate_grad_batches",
                      args.accumulate_grad_batches)
+    if args.steps_per_dispatch is not None:
+        cfg.set_path("train.steps_per_dispatch", args.steps_per_dispatch)
     if args.fused_bn:
         cfg.set_path("model.vision.fused_bn", True)
     for key in ("no_attn_loss_weight", "attention_divergence_loss_weight",
@@ -260,6 +269,10 @@ def main(cfg, args) -> dict:
             trainer.load_state_dict(load_checkpoint_meta(args.ckpt).get("trainer_state", {}))
     else:
         task_cls = ClassificationTask if phase == "classification" else SegmentationTask
+        if builder.steps_per_dispatch(cfg) > 1:
+            raise ValueError("--steps_per_dispatch is pretrain-only; the "
+                             "classification/segmentation tasks dispatch per "
+                             "batch (their epochs are metric-callback bound)")
         model, patch = task_cls.build_model(cfg, gloria_variables=pretrained_vars)
         tx = optim.make_optimizer(cfg, grad_clip=float(cfg.lightning.trainer.gradient_clip_val or 0) or None)
         accum = builder.accumulate_grad_batches(cfg)
