@@ -42,9 +42,22 @@ class CheckpointManager:
         # async: the (already host-copied) tree is serialized and written to
         # disk on orbax's background thread so the next epoch trains during
         # the write; at most ONE save is in flight (save() waits for the
-        # previous), and _prune never touches the in-flight directory
-        self._ckpt = (ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
-                      if async_save else ocp.PyTreeCheckpointer())
+        # previous), and _prune never touches the in-flight directory.
+        # Multi-host: only process 0 calls save() (the state is replicated),
+        # so orbax's internal save barriers must span ONLY the writer —
+        # otherwise process 0 blocks in sync_global_processes while the other
+        # hosts run ahead into the next train step's collectives (a Gloo/ICI
+        # "collective mismatch" crash, caught by tests/test_multihost.py)
+        mp_opts = ocp.options.MultiprocessingOptions()
+        if jax.process_count() > 1:
+            mp_opts = ocp.options.MultiprocessingOptions(
+                primary_host=0, active_processes={0})
+        self._ckpt = (
+            ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler(),
+                                  multiprocessing_options=mp_opts)
+            if async_save
+            else ocp.Checkpointer(ocp.PyTreeCheckpointHandler(),
+                                  multiprocessing_options=mp_opts))
         self.manifest_path = self.dir / "manifest.json"
         self.manifest: dict = {"entries": [], "last": None}
         if self.manifest_path.exists():

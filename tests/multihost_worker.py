@@ -1,0 +1,161 @@
+"""Multi-host worker + shared trajectory for the 2-process integration test.
+
+Run as a subprocess by ``test_multihost.py``:
+
+    python tests/multihost_worker.py <process_id> <num_processes> <port> <outdir>
+
+Each process pins a 4-device virtual CPU backend and joins a real
+``jax.distributed`` cluster (local coordinator, Gloo collectives), so the
+8-device global mesh spans two OS processes — the same SPMD topology as two
+TPU hosts over DCN, minus the hardware.  ``run_trajectory`` is also imported
+by the parent test and executed in-process (single process, 8 local devices)
+to produce the reference trajectory the 2-process run must reproduce.
+
+Reference counterpart: the multi-node DDP surface Lightning provided for
+free (``/root/reference/configs/chexpert_pretrain_config.yaml:8``, never
+actually exercised there either — SURVEY §2.2); here the claim is executed.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+# run as a bare script by the parent test: the repo root is not on sys.path
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def run_trajectory(fsdp: int, steps: int, outdir: str | None, seed: int = 7) -> dict:
+    """Build the mesh over ALL global devices, feed per-process loader slices
+    through ``shard_batch_per_host``, take ``steps`` train steps, and return
+    {losses, fingerprint}.  Uses ``jax.process_index/count()`` for the loader
+    sharding, so the same code runs single- and multi-process.  When
+    ``outdir`` is set, also exercises the single-writer metric + checkpoint
+    sinks (only valid for fsdp=1: the ckpt manager gathers replicated state)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from gloria_tpu.builder import default_pretrain_config, init_gloria
+    from gloria_tpu.data.loader import PrefetchLoader
+    from gloria_tpu.data.synthetic import make_synthetic_batch
+    from gloria_tpu.parallel import mesh as meshlib
+
+    n = len(jax.devices())
+    mesh = meshlib.create_mesh(n_devices=n, fsdp=fsdp, tp=1)
+
+    cfg = default_pretrain_config()
+    cfg.model.vision.model_name = "resnet_18"
+    cfg.model.text.embedding_dim = 32
+    cfg.model.text.bert_config = {
+        "vocab_size": 512, "hidden_size": 32, "num_layers": 2, "num_heads": 4,
+        "intermediate_size": 64, "max_position_embeddings": 32,
+    }
+
+    # deterministic 32-row corpus: every process derives the identical pool,
+    # the loader then keeps only this process's rows of each global batch
+    pool = make_synthetic_batch(batch_size=32, num_tokens=16, imsize=32,
+                                vocab_size=512, seed=123)
+
+    class Rows:
+        def __len__(self):
+            return 32
+
+        def __getitem__(self, i):
+            return {k: v[i] for k, v in pool.items()}
+
+    def collate(items):
+        return {k: np.stack([it[k] for it in items]) for k in items[0]}
+
+    def to_device(b):
+        return meshlib.shard_batch_per_host(
+            {k: jnp.asarray(v) for k, v in b.items()}, mesh)
+
+    loader = PrefetchLoader(
+        Rows(), collate, batch_size=16, shuffle=True, seed=seed,
+        num_workers=2, prefetch=1, to_device=to_device,
+        process_index=jax.process_index(), process_count=jax.process_count())
+
+    with mesh:
+        init_rows = {k: np.asarray(v)[:16] for k, v in pool.items()}
+        model, state, train_step, _ = init_gloria(cfg, init_rows, dtype=jnp.float32)
+        state = state.replace(
+            params=meshlib.shard_params(state.params, mesh),
+            batch_stats=meshlib.replicate(state.batch_stats, mesh),
+            opt_state=meshlib.shard_params(state.opt_state, mesh),
+        )
+        losses = []
+
+        def stream():
+            # epoch-cycling: the loader yields len(ds)/batch batches per epoch
+            # (2 here); every process advances loader.epoch in lockstep so the
+            # seed+epoch shuffle keeps the global order identical everywhere
+            while True:
+                yield from loader
+
+        it = stream()
+        for _ in range(steps):
+            state, metrics = train_step(state, next(it))
+            losses.append(float(metrics["loss"]))
+
+        # scalar parameter fingerprint, computed as one global SPMD program →
+        # replicated output, identical on every process by construction
+        fingerprint = float(jax.jit(
+            lambda p: jax.tree_util.tree_reduce(
+                lambda a, x: a + jnp.sum(jnp.abs(x.astype(jnp.float32))), p, 0.0),
+            out_shardings=NamedSharding(mesh, P()),
+        )(state.params))
+
+        wrote = None
+        if outdir is not None:
+            from gloria_tpu.training.checkpoints import CheckpointManager
+            from gloria_tpu.utils.logging import MetricLogger
+
+            logger = MetricLogger(outdir)
+            logger.log({"loss": losses[-1]}, step=steps, split="train")
+            mgr = CheckpointManager(Path(outdir) / "ckpt", monitor="loss",
+                                    save_top_k=1)
+            wrote = mgr.save(state, step=steps, metrics={"loss": losses[-1]})
+            mgr.wait()
+
+    return {"losses": losses, "fingerprint": fingerprint,
+            "ckpt_path": wrote, "process_index": jax.process_index(),
+            "n_global_devices": n}
+
+
+def main() -> int:
+    import os
+
+    pid, nprocs, port = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+    outdir = sys.argv[4]
+    # must precede the first jax import: each process exposes 4 virtual CPU
+    # devices → 8 global (overrides any inherited XLA_FLAGS from the parent)
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(coordinator_address=f"localhost:{port}",
+                               num_processes=nprocs, process_id=pid)
+    assert jax.process_count() == nprocs
+    assert len(jax.devices()) == 4 * nprocs, len(jax.devices())
+    assert len(jax.local_devices()) == 4
+
+    # scenario A: pure DP (dp=8) + single-writer metric/ckpt sinks.  Each
+    # process points at its OWN sink dir: if the process-0 gating works,
+    # sink_p1 must stay empty (in production both point at one shared dir)
+    res_a = run_trajectory(fsdp=1, steps=3, outdir=str(Path(outdir) / f"sink_p{pid}"))
+    # scenario B: dp=4 × fsdp=2 — cross-process parameter sharding, the
+    # all-gathers/reduce-scatters ride the (Gloo) inter-process links
+    res_b = run_trajectory(fsdp=2, steps=2, outdir=None)
+
+    Path(outdir).mkdir(parents=True, exist_ok=True)
+    (Path(outdir) / f"result_p{pid}.json").write_text(
+        json.dumps({"dp": res_a, "fsdp": res_b}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

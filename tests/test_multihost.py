@@ -1,0 +1,99 @@
+"""Real 2-process multi-host execution (VERDICT r3 item 1).
+
+Spawns two OS processes that join a ``jax.distributed`` cluster against a
+local coordinator (4 virtual CPU devices each → one 8-device global mesh,
+Gloo collectives across processes) and run the repo's actual multi-host
+path: per-process ``PrefetchLoader`` slicing + ``shard_batch_per_host``
+assembly + the jitted pretrain step, under pure DP and under dp×fsdp.
+
+Asserts the three multi-host invariants:
+  (a) replicated outputs (losses, parameter fingerprint) are identical
+      across the two processes,
+  (b) the 2-process trajectory equals the single-process 8-device
+      trajectory row-for-row (same global batches, same updates),
+  (c) exactly one process writes checkpoints and metric files.
+
+Reference counterpart: the Lightning DDP/multi-node surface
+(``/root/reference/configs/chexpert_pretrain_config.yaml:8``, SURVEY §2.2).
+"""
+
+from __future__ import annotations
+
+import json
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_cluster_matches_single_process(tmp_path):
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        procs.append(subprocess.Popen(
+            [sys.executable, str(REPO / "tests" / "multihost_worker.py"),
+             str(pid), "2", str(port), str(tmp_path)],
+            cwd=str(REPO), stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        ))
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("multi-host worker timed out (coordinator deadlock?)")
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
+
+    results = [json.loads((tmp_path / f"result_p{pid}.json").read_text())
+               for pid in range(2)]
+    for r in results:
+        assert r["dp"]["n_global_devices"] == 8
+
+    # (a) replicated SPMD outputs identical across processes (same program,
+    # same collectives → bitwise-equal replicated values)
+    for scen in ("dp", "fsdp"):
+        assert results[0][scen]["losses"] == results[1][scen]["losses"], scen
+        assert results[0][scen]["fingerprint"] == results[1][scen]["fingerprint"], scen
+    assert all(np.isfinite(v) for v in results[0]["dp"]["losses"] + results[0]["fsdp"]["losses"])
+
+    # (b) 2-process trajectory ≡ single-process 8-device trajectory (this
+    # pytest process runs the identical helper on its local 8-device mesh;
+    # cross-process Gloo reductions may reorder float sums → tolerance)
+    from tests.multihost_worker import run_trajectory
+
+    base_dp = run_trajectory(fsdp=1, steps=3, outdir=None)
+    base_fsdp = run_trajectory(fsdp=2, steps=2, outdir=None)
+    np.testing.assert_allclose(results[0]["dp"]["losses"], base_dp["losses"],
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(results[0]["fsdp"]["losses"], base_fsdp["losses"],
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(results[0]["dp"]["fingerprint"],
+                               base_dp["fingerprint"], rtol=1e-5)
+    np.testing.assert_allclose(results[0]["fsdp"]["fingerprint"],
+                               base_fsdp["fingerprint"], rtol=1e-5)
+
+    # (c) exactly one writer: process 0's sinks exist, process 1's are empty
+    sink0, sink1 = tmp_path / "sink_p0", tmp_path / "sink_p1"
+    assert (sink0 / "metrics_train.csv").exists()
+    assert (sink0 / "ckpt" / "step_00000003").exists()
+    assert (sink0 / "ckpt" / "manifest.json").exists()
+    assert results[0]["dp"]["ckpt_path"] and results[1]["dp"]["ckpt_path"]
+    assert not (sink1 / "metrics_train.csv").exists()
+    assert not list((sink1 / "ckpt").glob("step_*")) if (sink1 / "ckpt").exists() else True
+    assert not (sink1 / "ckpt" / "manifest.json").exists()
