@@ -70,8 +70,12 @@ class GloriaCollate:
         self._native_rng = np.random.RandomState(seed)
         t = cfg.transforms or Config()
         simple_augs = t.random_affine is None and t.color_jitter is None
-        if (cfg.data.native_ingest and (t.norm or "half") == "half" and simple_augs
-                and not self.device_normalize):  # native kernel fuses normalize
+        # native composes with either normalize plane: the *_normalize_batch
+        # kernels fuse the half-norm on host (f32 out); under device_normalize
+        # the *_u8_batch kernels emit raw [N,s,s,1] uint8 and the jitted step
+        # broadcasts+normalizes (any norm mode) — 12× smaller transfers.
+        if (cfg.data.native_ingest and simple_augs
+                and (self.device_normalize or (t.norm or "half") == "half")):
             from . import native
 
             self.native_ingest = native.available()
@@ -85,6 +89,8 @@ class GloriaCollate:
                        for im in images]
             n = len(imgs_u8)
             if self.crop == self.imsize and self.split != "train":
+                if self.device_normalize:
+                    return native.letterbox_u8_batch(imgs_u8, self.imsize)
                 return native.letterbox_normalize_batch(imgs_u8, self.imsize)
             if self.split == "train":
                 max_off = self.imsize - self.crop
@@ -97,6 +103,9 @@ class GloriaCollate:
                 tops = np.full(n, off)
                 lefts = np.full(n, off)
                 flips = np.zeros(n, np.int32)
+            if self.device_normalize:
+                return native.letterbox_crop_u8_batch(
+                    imgs_u8, self.imsize, self.crop, tops, lefts, flips)
             return native.letterbox_crop_normalize_batch(
                 imgs_u8, self.imsize, self.crop, tops, lefts, flips)
         out = []

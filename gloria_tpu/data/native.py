@@ -46,8 +46,22 @@ def _load():
             ctypes.c_float, ctypes.c_float, ctypes.c_int,
             ctypes.POINTER(ctypes.c_float),
         ]
+        lib.letterbox_u8_batch.argtypes = [
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.letterbox_crop_u8_batch.argtypes = [
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
         lib.ingest_abi_version.restype = ctypes.c_int
-        assert lib.ingest_abi_version() == 2
+        assert lib.ingest_abi_version() == 3
         _lib = lib
     except Exception:
         _lib = None
@@ -110,3 +124,55 @@ def letterbox_crop_normalize_batch(
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
     )
     return out
+
+
+def _u8_ptrs(images: list[np.ndarray]):
+    n = len(images)
+    images = [np.ascontiguousarray(im if im.ndim == 2 else im[..., 0], np.uint8)
+              for im in images]
+    ptrs = (ctypes.POINTER(ctypes.c_uint8) * n)(
+        *[im.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)) for im in images]
+    )
+    heights = (ctypes.c_int * n)(*[im.shape[0] for im in images])
+    widths = (ctypes.c_int * n)(*[im.shape[1] for im in images])
+    return images, ptrs, heights, widths
+
+
+def letterbox_u8_batch(images: list[np.ndarray], size: int,
+                       num_threads: int = 0) -> np.ndarray:
+    """Grayscale uint8 images → [N, size, size, 1] uint8, letterboxed, raw
+    pixels (normalization happens on device; GLoRIA's uint8 input branch
+    broadcasts C=1→3 and normalizes inside the jitted step)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native ingest library unavailable; run `make -C native`")
+    images, ptrs, heights, widths = _u8_ptrs(images)
+    n = len(images)
+    out = np.empty((n, size, size), np.uint8)
+    lib.letterbox_u8_batch(ptrs, heights, widths, n, size,
+                           num_threads or (os.cpu_count() or 4),
+                           out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out[..., None]
+
+
+def letterbox_crop_u8_batch(
+    images: list[np.ndarray], size: int, crop_size: int,
+    crop_tops: np.ndarray, crop_lefts: np.ndarray, flips: np.ndarray,
+    num_threads: int = 0,
+) -> np.ndarray:
+    """Training path, uint8 out: letterbox to `size`, crop `crop_size` at the
+    given offsets, optional horizontal flip — raw pixels, [N, crop, crop, 1]."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native ingest library unavailable; run `make -C native`")
+    images, ptrs, heights, widths = _u8_ptrs(images)
+    n = len(images)
+    tops = (ctypes.c_int * n)(*[int(v) for v in crop_tops])
+    lefts = (ctypes.c_int * n)(*[int(v) for v in crop_lefts])
+    fl = (ctypes.c_int * n)(*[int(v) for v in flips])
+    out = np.empty((n, crop_size, crop_size), np.uint8)
+    lib.letterbox_crop_u8_batch(ptrs, heights, widths, n, size, crop_size,
+                                tops, lefts, fl,
+                                num_threads or (os.cpu_count() or 4),
+                                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out[..., None]

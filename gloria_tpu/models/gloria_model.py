@@ -160,13 +160,17 @@ class GLoRIA(nn.Module):
 
     # -- encoder branches ---------------------------------------------------
     def image_encoder_forward(self, imgs: jnp.ndarray, train: bool = False, deterministic: bool = True):
-        """imgs [B, H, W, 3] float (host-normalized) or uint8 (raw pixels;
-        normalized here in f32, identically to the host pipeline) →
-        (img_emb_l [B, R, D], img_emb_g [B, D], (h, w))."""
+        """imgs [B, H, W, 3] float (host-normalized) or uint8 (raw pixels,
+        C=3 or C=1 — grayscale ingest ships one channel for 3× smaller
+        transfers; broadcast then normalized here in f32, identically to the
+        host pipeline) → (img_emb_l [B, R, D], img_emb_g [B, D], (h, w))."""
         if imgs.dtype == jnp.uint8:
+            x = imgs.astype(jnp.float32)
+            if x.shape[-1] == 1:  # grayscale: replicate like the host's to_rgb
+                x = jnp.broadcast_to(x, x.shape[:-1] + (3,))
             mean = jnp.asarray(self._norm_mean, jnp.float32)
             std = jnp.asarray(self._norm_std, jnp.float32)
-            imgs = (imgs.astype(jnp.float32) / 255.0 - mean) / std
+            imgs = (x / 255.0 - mean) / std
         img_emb_g, img_emb_l, (h, w) = self.img_encoder(imgs, train=train)
         if self.position_embeddings is not None:
             img_emb_l = img_emb_l + self.position_embeddings((h, w)).reshape(1, h * w, -1)

@@ -124,6 +124,48 @@ void process_one(const uint8_t* img, int in_h, int in_w, int size, int crop_size
   }
 }
 
+// uint8 variant of process_one: letterbox + optional crop/flip, NO
+// normalization, single-channel output (round-to-nearest of the area/bilinear
+// resample).  Pairs with on-device normalization (GLoRIA's uint8 input
+// branch): the device step casts, broadcasts C=1→3 and normalizes, so the
+// host→device transfer is 12× smaller than the NHWC float32 batch.
+void process_one_u8(const uint8_t* img, int in_h, int in_w, int size,
+                    int crop_size, int crop_top, int crop_left, int flip,
+                    uint8_t* out /* crop*crop */) {
+  int rh, rw;
+  if (in_h >= in_w) {
+    rh = size;
+    rw = static_cast<int>(static_cast<double>(in_w) * size / in_h);
+  } else {
+    rw = size;
+    rh = static_cast<int>(static_cast<double>(in_h) * size / in_w);
+  }
+  rh = std::max(rh, 1);
+  rw = std::max(rw, 1);
+  std::vector<float> resized(static_cast<size_t>(rh) * rw);
+  resize_area(img, in_h, in_w, resized.data(), rh, rw);
+
+  const int pad_top = (size - rh) / 2;
+  const int pad_left = (size - rw) / 2;
+  const int cs = crop_size > 0 ? crop_size : size;
+  std::memset(out, 0, static_cast<size_t>(cs) * cs);
+  for (int oy = 0; oy < cs; ++oy) {
+    const int ly = oy + crop_top;
+    const int sy = ly - pad_top;
+    if (sy < 0 || sy >= rh) continue;
+    uint8_t* orow = out + static_cast<size_t>(oy) * cs;
+    const float* irow = resized.data() + static_cast<size_t>(sy) * rw;
+    for (int ox = 0; ox < cs; ++ox) {
+      const int lx = (flip ? cs - 1 - ox : ox) + crop_left;
+      const int sx = lx - pad_left;
+      if (sx < 0 || sx >= rw) continue;
+      const float v = irow[sx];
+      orow[ox] = static_cast<uint8_t>(
+          std::min(255.0f, std::max(0.0f, v + 0.5f)));
+    }
+  }
+}
+
 }  // namespace
 
 extern "C" {
@@ -176,6 +218,49 @@ void letterbox_crop_normalize_batch(const uint8_t** images, const int* heights,
   for (auto& th : threads) th.join();
 }
 
-int ingest_abi_version() { return 2; }
+// uint8 single-channel variants: same geometry as the *_normalize_batch
+// calls but emit raw resampled pixels ([n, size, size] / [n, crop, crop]
+// uint8) for the device-normalize ingest path.
+void letterbox_u8_batch(const uint8_t** images, const int* heights,
+                        const int* widths, int n, int size, int num_threads,
+                        uint8_t* out) {
+  const size_t stride = static_cast<size_t>(size) * size;
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    int i;
+    while ((i = next.fetch_add(1)) < n) {
+      process_one_u8(images[i], heights[i], widths[i], size, 0, 0, 0, 0,
+                     out + static_cast<size_t>(i) * stride);
+    }
+  };
+  const int t = std::max(1, std::min(num_threads, n));
+  std::vector<std::thread> threads;
+  threads.reserve(t);
+  for (int k = 0; k < t; ++k) threads.emplace_back(worker);
+  for (auto& th : threads) th.join();
+}
+
+void letterbox_crop_u8_batch(const uint8_t** images, const int* heights,
+                             const int* widths, int n, int size, int crop_size,
+                             const int* crop_tops, const int* crop_lefts,
+                             const int* flips, int num_threads, uint8_t* out) {
+  const size_t stride = static_cast<size_t>(crop_size) * crop_size;
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    int i;
+    while ((i = next.fetch_add(1)) < n) {
+      process_one_u8(images[i], heights[i], widths[i], size, crop_size,
+                     crop_tops[i], crop_lefts[i], flips[i],
+                     out + static_cast<size_t>(i) * stride);
+    }
+  };
+  const int t = std::max(1, std::min(num_threads, n));
+  std::vector<std::thread> threads;
+  threads.reserve(t);
+  for (int k = 0; k < t; ++k) threads.emplace_back(worker);
+  for (auto& th : threads) th.join();
+}
+
+int ingest_abi_version() { return 3; }
 
 }  // extern "C"

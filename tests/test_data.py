@@ -253,3 +253,54 @@ def test_device_normalize_uint8_path_matches_host():
     out_u8 = model.apply(variables, mb_u8, train=False)
     for a, b in zip(out_f32[:4], out_u8[:4]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+
+    # native + device_normalize compose: the C++ u8 kernel emits single-channel
+    # raw pixels ([N, s, s, 1], 12x smaller than the f32 NHWC batch) and the
+    # model broadcasts C=1->3 on device; embeddings match the host pipeline
+    # within the +-1-level resample rounding
+    from gloria_tpu.data import native
+
+    if native.available():
+        cfg_n = Config(cfg.to_dict())
+        cfg_n.set_path("data.device_normalize", True)
+        cfg_n.set_path("data.native_ingest", True)
+        coll_n = GloriaCollate(cfg_n, "test", tok)
+        assert coll_n.native_ingest
+        b_n = coll_n(items)
+        assert b_n["imgs"].dtype == np.uint8 and b_n["imgs"].shape[-1] == 1
+        assert b_n["imgs"].nbytes * 12 == b_f32["imgs"].nbytes
+        np.testing.assert_array_equal(
+            np.sort(b_n["cap_lens"]), np.sort(b_u8["cap_lens"]))
+        mb_n = dict(mb)
+        mb_n["imgs"] = np.asarray(b_n["imgs"])
+        out_n = model.apply(variables, mb_n, train=False)
+        for a, b in zip(out_f32[:4], out_n[:4]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-2, atol=5e-2)
+
+
+def test_native_u8_variants_match_python_resize():
+    """letterbox_u8_batch / letterbox_crop_u8_batch: raw uint8 geometry equals
+    the cv2 letterbox(+crop+flip) path within 1 grey level."""
+    from gloria_tpu.data import native
+
+    if not native.available():
+        pytest.skip("native ingest library not built")
+    rng = np.random.RandomState(0)
+    imgs = [(rng.rand(90, 60) * 255).astype(np.uint8),
+            (rng.rand(50, 80) * 255).astype(np.uint8)]
+    out = native.letterbox_u8_batch(imgs, 64)
+    assert out.shape == (2, 64, 64, 1) and out.dtype == np.uint8
+    ref = np.stack([letterbox_resize(im, 64) for im in imgs])
+    assert np.abs(out[..., 0].astype(int) - ref.astype(int)).max() <= 1
+
+    imgs2 = [(rng.rand(320, 280) * 255).astype(np.uint8) for _ in range(4)]
+    tops = np.asarray([3, 0, 31, 10])
+    lefts = np.asarray([5, 32, 0, 7])
+    flips = np.asarray([0, 1, 0, 1])
+    out2 = native.letterbox_crop_u8_batch(imgs2, 256, 224, tops, lefts, flips)
+    refs = []
+    for im, t, l, f in zip(imgs2, tops, lefts, flips):
+        crop = letterbox_resize(im, 256)[t:t + 224, l:l + 224]
+        refs.append(crop[:, ::-1] if f else crop)
+    assert np.abs(out2[..., 0].astype(int) - np.stack(refs).astype(int)).max() <= 1
