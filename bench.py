@@ -68,7 +68,7 @@ def device_peak_flops() -> float | None:
 
 
 def build(smoke: bool, batch_override: int | None = None, loss_chunk: int = 0,
-          fused: bool = False, fused_bn: bool = False, flatten_opt: bool = False,
+          fused: bool = False, flatten_opt: bool = False,
           input_size: int | None = None, accum: int = 1, spd: int = 1):
     import jax
     import jax.numpy as jnp
@@ -103,8 +103,6 @@ def build(smoke: bool, batch_override: int | None = None, loss_chunk: int = 0,
         batch_size = batch_override
     if fused:
         cfg.model.gloria.fused_kernel = True
-    if fused_bn:
-        cfg.set_path("model.vision.fused_bn", True)
     if flatten_opt:
         cfg.set_path("train.flatten_optimizer", True)
     if input_size:
@@ -263,9 +261,6 @@ def main() -> int:
     ap.add_argument("--loss-chunk", type=int, default=0)
     ap.add_argument("--fused", action="store_true",
                     help="route the local-matching sims through the Pallas kernel")
-    ap.add_argument("--fused-bn", action="store_true",
-                    help="fuse bottleneck bn2+relu+conv3+bn3-stats into one Pallas "
-                         "kernel on the image tower")
     ap.add_argument("--batch-size", type=int, default=None,
                     help="override batch size (default: 48, the reference's; "
                          "peak v5e throughput measured at 96)")
@@ -297,7 +292,7 @@ def main() -> int:
         return run_sustained(args)
 
     state, batch, train_step, bs = build(args.smoke, args.batch_size, args.loss_chunk,
-                                         args.fused, args.fused_bn, args.flatten_opt,
+                                         args.fused, args.flatten_opt,
                                          args.input_size, args.accum,
                                          args.steps_per_dispatch)
     window = max(args.accum, args.steps_per_dispatch)

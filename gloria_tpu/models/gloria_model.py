@@ -121,8 +121,6 @@ class GLoRIA(nn.Module):
             norm=bool(cfg.model.norm),
             input_size=299 if cfg.model.vision.encoder_input_size is None
             else (cfg.model.vision.encoder_input_size or None),
-            fused_bn=bool(cfg.model.vision.fused_bn),
-            fused_bn_stages=tuple(cfg.model.vision.fused_bn_stages or (1, 2, 3, 4)),
             dtype=self.dtype,
         )
         if cfg.model.image_position_embeddings:

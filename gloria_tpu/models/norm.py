@@ -1,21 +1,13 @@
-"""BatchNorm with a splittable stats/apply boundary.
+"""BatchNorm, numerically interchangeable with ``flax.linen.BatchNorm``.
 
-``SplitBatchNorm`` is numerically and structurally interchangeable with
-``flax.linen.BatchNorm`` (same param tree: params scale/bias, batch_stats
-mean/var; same f32 fast-variance stats, clip-at-zero, running-average
-update, and apply order — asserted against flax in
-tests/test_fused_bn.py), with two extra modes that the fused bottleneck
-kernel (``gloria_tpu.ops.pallas.fused_bn``) needs:
-
-- ``fold=True``: instead of normalizing ``x``, return the per-channel
-  folded affine ``(scale_eff, shift_eff)`` with
-  ``bn(x) == x * scale_eff + shift_eff`` — the form a matmul prologue can
-  apply in-register.  Batch stats are still computed from ``x`` and the
-  running averages still update.
-- ``sums=(s1, s2), count=M``: derive the batch statistics from per-channel
-  sum and sum-of-squares accumulated by the kernel's epilogue (fast
-  variance: E[x²] − E[x]²), so no separate pass over the activation is
-  needed.  Returns the folded affine.
+Same param tree (params scale/bias, batch_stats mean/var), same f32
+fast-variance stats, clip-at-zero, running-average update, and apply order —
+asserted against flax in tests/test_models.py.  It exists as a first-party
+module so the stats/apply math stays auditable against the reference's torch
+BatchNorm semantics (momentum 0.9, eps 1e-5 — torchvision resnet defaults,
+``gloria/models/cnn_backbones.py``) and so layout experiments have one place
+to live; the folded-affine/sums modes that served the retired fused
+bottleneck kernel now live with it in ``scripts/experiments/fused_bn.py``.
 """
 
 from __future__ import annotations
@@ -35,15 +27,10 @@ class SplitBatchNorm(nn.Module):
     param_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x=None, use_running_average: bool | None = None, *,
-                 fold: bool = False, sums: tuple | None = None,
-                 count: int | None = None):
+    def __call__(self, x, use_running_average: bool | None = None):
         use_running_average = nn.merge_param(
             "use_running_average", self.use_running_average, use_running_average)
-        if sums is not None:
-            features = sums[0].shape[-1]
-        else:
-            features = x.shape[-1]
+        features = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones_init(), (features,),
                            self.param_dtype)
         bias = self.param("bias", nn.initializers.zeros_init(), (features,),
@@ -53,13 +40,7 @@ class SplitBatchNorm(nn.Module):
         ra_var = self.variable("batch_stats", "var",
                                lambda s: jnp.ones(s, jnp.float32), (features,))
 
-        if sums is not None:
-            if count is None:
-                raise ValueError("sums mode requires count")
-            mean = sums[0].astype(jnp.float32) / count
-            mean2 = sums[1].astype(jnp.float32) / count
-            var = jnp.maximum(0.0, mean2 - mean * mean)
-        elif use_running_average:
+        if use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
             # flax _compute_stats semantics: f32, fast variance, clipped
@@ -74,15 +55,13 @@ class SplitBatchNorm(nn.Module):
             ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
 
         mul = lax.rsqrt(var + self.epsilon) * scale
-        if fold or sums is not None:
-            return mul, bias - mean * mul
         # NOTE: a [B,H,W,C] -> [B*H*W,C] flatten before the stats/apply math
         # was tried here (the standalone 4-D reduce at stem shapes measures
-        # 2.2x slower than the 2-D view, scripts/bench_bn_reduce.py) but is
-        # (a) a wash inside the full jitted step — XLA already canonicalizes
-        # the reduce — and (b) NOT free under GSPMD: merging the dp-sharded
-        # batch dim with spatial dims broke sharding propagation and aborted
-        # the dp x tp sharded step on the virtual mesh.  Keep BN shape-
+        # 2.2x slower than the 2-D view, scripts/experiments/bench_bn_reduce.py)
+        # but is (a) a wash inside the full jitted step — XLA already
+        # canonicalizes the reduce — and (b) NOT free under GSPMD: merging the
+        # dp-sharded batch dim with spatial dims broke sharding propagation and
+        # aborted the dp x tp sharded step on the virtual mesh.  Keep BN shape-
         # preserving; sharded-step equality is pinned by test_parallel.py.
         y = (x.astype(jnp.float32) - mean) * mul + bias
         out_dtype = self.dtype or jnp.promote_types(x.dtype, jnp.float32)

@@ -52,24 +52,6 @@ class BasicBlock(nn.Module):
         return nn.relu(out + identity)
 
 
-class _TailConv(nn.Module):
-    """Owns the conv3 kernel (param path ``conv3/kernel``, identical to
-    ``nn.Conv``'s) and routes it through the fused bn2+relu+matmul+bn3-stats
-    Pallas op (``ops/pallas/fused_bn.py``)."""
-
-    features: int
-
-    @nn.compact
-    def __call__(self, y2_2d, scale, shift):
-        from ..ops.pallas.fused_bn import bottleneck_tail
-
-        k = y2_2d.shape[-1]
-        kernel = self.param("kernel", nn.initializers.lecun_normal(),
-                            (1, 1, k, self.features), jnp.float32)
-        return bottleneck_tail(y2_2d, scale, shift,
-                               kernel.reshape(k, self.features))
-
-
 class Bottleneck(nn.Module):
     planes: int
     stride: int = 1
@@ -78,10 +60,6 @@ class Bottleneck(nn.Module):
     base_width: int = 64
     conv: ModuleDef = nn.Conv
     norm: ModuleDef = SplitBatchNorm
-    # train-path throughput knob: fuse bn2-apply+relu into the conv3 matmul
-    # prologue and bn3's batch stats into its epilogue (one HBM pass instead
-    # of three); numerics match the unfused path to fold-order rounding
-    fused: bool = False
 
     expansion = 4
 
@@ -96,22 +74,10 @@ class Bottleneck(nn.Module):
             width, (3, 3), strides=(self.stride, self.stride), padding=[(1, 1), (1, 1)],
             feature_group_count=self.groups, use_bias=False, name="conv2",
         )(out)
-        # grouped convs keep the unfused tail (the prologue fold is
-        # per-channel, but parity with the resnext path is untested)
-        use_fused = self.fused and self.groups == 1 and not self.is_initializing()
-        if use_fused:
-            b, h, w, c = out.shape
-            scale2, shift2 = self.norm(name="bn2")(out.reshape(-1, c), fold=True)
-            y3, s1, s2 = _TailConv(self.planes * self.expansion, name="conv3")(
-                out.reshape(-1, c), scale2, shift2)
-            scale3, shift3 = self.norm(name="bn3")(sums=(s1, s2), count=y3.shape[0])
-            out = (y3.astype(jnp.float32) * scale3 + shift3).astype(out.dtype)
-            out = out.reshape(b, h, w, -1)
-        else:
-            out = self.norm(name="bn2")(out)
-            out = nn.relu(out)
-            out = self.conv(self.planes * self.expansion, (1, 1), use_bias=False, name="conv3")(out)
-            out = self.norm(name="bn3")(out)
+        out = self.norm(name="bn2")(out)
+        out = nn.relu(out)
+        out = self.conv(self.planes * self.expansion, (1, 1), use_bias=False, name="conv3")(out)
+        out = self.norm(name="bn3")(out)
         if self.downsample:
             identity = self.conv(self.planes * self.expansion, (1, 1), strides=(self.stride, self.stride), use_bias=False, name="downsample_conv")(x)
             identity = self.norm(name="downsample_bn")(identity)
@@ -128,11 +94,6 @@ class ResNet(nn.Module):
     layers: Sequence[int]
     groups: int = 1
     width_per_group: int = 64
-    # fuse each Bottleneck's bn2+relu+conv3+bn3-stats into one Pallas kernel
-    # on the train path (see ops/pallas/fused_bn.py); inference is unchanged.
-    # fused_bn_stages limits the fusion to specific stages (1-4)
-    fused_bn: bool = False
-    fused_bn_stages: Sequence[int] = (1, 2, 3, 4)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -155,9 +116,6 @@ class ResNet(nn.Module):
             for block_idx in range(num_blocks):
                 in_ch = x.shape[-1]
                 out_ch = planes * self.block.expansion
-                extra = ({"fused": self.fused_bn and train
-                          and (stage_idx + 1) in tuple(self.fused_bn_stages)}
-                         if self.block is Bottleneck else {})
                 x = self.block(
                     planes=planes,
                     stride=stride if block_idx == 0 else 1,
@@ -167,7 +125,6 @@ class ResNet(nn.Module):
                     conv=conv,
                     norm=norm,
                     name=f"layer{stage_idx + 1}_{block_idx}",
-                    **extra,
                 )(x)
             features[f"layer{stage_idx + 1}"] = x
             planes *= 2
@@ -193,11 +150,8 @@ BACKBONES: dict[str, tuple[dict, int, int]] = {
 BACKBONES.update(DENSENETS)
 
 
-def make_backbone(name: str, dtype=jnp.float32, module_name: str = "backbone",
-                  fused_bn: bool = False, fused_bn_stages: tuple = (1, 2, 3, 4)):
+def make_backbone(name: str, dtype=jnp.float32, module_name: str = "backbone"):
     spec, feature_dim, interm_dim = BACKBONES[name]
     if name.startswith("densenet"):
         return DenseNet(**spec, dtype=dtype, name=module_name), feature_dim, interm_dim
-    return (ResNet(**spec, dtype=dtype, fused_bn=fused_bn,
-                   fused_bn_stages=tuple(fused_bn_stages), name=module_name),
-            feature_dim, interm_dim)
+    return ResNet(**spec, dtype=dtype, name=module_name), feature_dim, interm_dim

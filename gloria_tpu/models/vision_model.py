@@ -30,11 +30,6 @@ class ImageEncoder(nn.Module):
     # (vision_model.py:70), costing 1.78x the conv FLOPs of 224 inputs; keep
     # 299 for parity, set to the crop size (or None to skip) for throughput
     input_size: int | None = 299
-    # route bottleneck 1x1 convs through the fused Pallas matmul+BN kernel
-    # (ops/pallas/fused_bn.py) — train-path throughput knob, numerics
-    # preserved to BN-batch-stat precision
-    fused_bn: bool = False
-    fused_bn_stages: tuple = (1, 2, 3, 4)
     dtype: Any = jnp.float32
 
     @property
@@ -49,9 +44,7 @@ class ImageEncoder(nn.Module):
         Returns (global_emb [B, D], local_emb [B, R, D], (h, w)) when
         ``get_embeddings``; otherwise the raw (pooled_feat, local_feat_map).
         """
-        backbone, _, _ = make_backbone(self.model_name, dtype=self.dtype,
-                                       fused_bn=self.fused_bn,
-                                       fused_bn_stages=self.fused_bn_stages)
+        backbone, _, _ = make_backbone(self.model_name, dtype=self.dtype)
         if self.input_size and x.shape[1] != self.input_size:
             x = resize_bilinear(x, (self.input_size, self.input_size), align_corners=True,
                                 compute_dtype=self.dtype)

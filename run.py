@@ -69,9 +69,6 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--loss_chunk", type=int, default=None,
                    help="text-chunk size for the O(B²) pairwise loss (scan+remat); "
                         "default: batch-keyed auto (unchunked ≤128, chunk=8 above)")
-    p.add_argument("--fused_bn", action="store_true",
-                   help="fuse bottleneck bn2+relu+conv3+bn3-stats into one Pallas "
-                        "kernel on the image tower's train path")
     p.add_argument("--fsdp", type=int, default=1)
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel degree over the transformer towers")
@@ -119,8 +116,6 @@ def apply_overrides(cfg, args) -> None:
                      args.accumulate_grad_batches)
     if args.steps_per_dispatch is not None:
         cfg.set_path("train.steps_per_dispatch", args.steps_per_dispatch)
-    if args.fused_bn:
-        cfg.set_path("model.vision.fused_bn", True)
     for key in ("no_attn_loss_weight", "attention_divergence_loss_weight",
                 "attention_entropy_loss_weight", "segmentation_loss_weight"):
         value = getattr(args, key)
@@ -159,16 +154,6 @@ def main(cfg, args) -> dict:
     phase = (cfg.phase or "pretrain").lower()
     mesh = (create_mesh(fsdp=max(1, args.fsdp), tp=max(1, getattr(args, "tp", 1)))
             if jax.device_count() > 1 else None)
-    if mesh is not None and cfg.model and cfg.model.vision and cfg.model.vision.fused_bn:
-        # the fused bottleneck-tail pallas_call has no GSPMD partitioning rule
-        # and its [B,H,W,C]→[B·HW,C] flatten merges the dp-sharded batch dim
-        # with spatial dims — the exact hazard that aborted the dp×tp step for
-        # the flat-BN variant (models/norm.py NOTE). Single-chip only.
-        raise ValueError("--fused_bn is a single-chip knob: the fused Pallas "
-                         "bottleneck path does not shard over a device mesh "
-                         "(and loses end-to-end even on one chip — see "
-                         "docs/DESIGN.md). Drop --fused_bn for multi-device runs.")
-
     def to_device(batch):
         b = device_batch(batch)
         if mesh is not None and jax.process_count() > 1:

@@ -25,10 +25,6 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch-size", type=int, default=48)
     ap.add_argument("--steps", type=int, default=20)
-    ap.add_argument("--fused-bn", action="store_true",
-                    help="route 1x1 convs through the fused Pallas matmul+BN kernel")
-    ap.add_argument("--stages", type=int, nargs="*", default=[1, 2, 3, 4],
-                    help="which resnet stages use the fused tail")
     ap.add_argument("--fwd-only", action="store_true")
     args = ap.parse_args()
 
@@ -37,8 +33,7 @@ def main():
 
     from gloria_tpu.models.vision_model import ImageEncoder
 
-    enc = ImageEncoder(model_name="resnet_50", output_dim=768, dtype=jnp.bfloat16,
-                       fused_bn=args.fused_bn, fused_bn_stages=tuple(args.stages))
+    enc = ImageEncoder(model_name="resnet_50", output_dim=768, dtype=jnp.bfloat16)
     imgs = jnp.asarray(np.random.RandomState(0).rand(args.batch_size, 224, 224, 3),
                        jnp.bfloat16)
     v = enc.init(jax.random.PRNGKey(0), imgs, train=False)
@@ -48,7 +43,6 @@ def main():
         def step(params, stats, x):
             (g, l, _), _ = ImageEncoder(
                 model_name="resnet_50", output_dim=768, dtype=jnp.bfloat16,
-                fused_bn=args.fused_bn, fused_bn_stages=tuple(args.stages),
             ).apply({"params": params, "batch_stats": stats}, x,
                     train=True, mutable=["batch_stats"])
             return jnp.sum(g.astype(jnp.float32)), g
@@ -66,7 +60,7 @@ def main():
     ms = timeit_ms(step, (v["params"], v["batch_stats"], imgs), steps=args.steps,
                    sink=lambda out: out[0])
     mode = "fwd" if args.fwd_only else "fwd+bwd"
-    print(f"img_{mode}_B{args.batch_size}{'_fusedbn' if args.fused_bn else ''}: {ms:.2f} ms/step")
+    print(f"img_{mode}_B{args.batch_size}: {ms:.2f} ms/step")
 
 
 if __name__ == "__main__":

@@ -14,7 +14,9 @@ from __future__ import annotations
 import sys
 from pathlib import Path
 
-sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))  # scripts/ for _timing
+sys.path.insert(0, str(Path(__file__).resolve().parent))  # archived kernel
 
 import jax
 import jax.numpy as jnp

@@ -5,7 +5,7 @@ N = 4*width), times forward and fwd+bwd of:
   - the Pallas fused op  (bottleneck_tail impl='pallas')
   - the XLA composition  (bn-apply+relu -> 1x1 matmul -> stats)
 
-    python scripts/bench_fused_bn.py [--layers 1 2 3 4]
+    python scripts/experiments/bench_fused_bn.py [--layers 1 2 3 4]
 """
 
 from __future__ import annotations
@@ -14,7 +14,9 @@ import argparse
 import sys
 from pathlib import Path
 
-sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))  # scripts/ for _timing
+sys.path.insert(0, str(Path(__file__).resolve().parent))  # archived kernel
 
 import jax
 import jax.numpy as jnp
@@ -40,7 +42,7 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
-    from gloria_tpu.ops.pallas.fused_bn import bottleneck_tail
+    from fused_bn import bottleneck_tail
 
     for layer in args.layers:
         m, k, n = SHAPES[layer]

@@ -6,7 +6,7 @@ iterations in ONE jitted ``lax.scan`` with a feedback dependency (y2 is
 perturbed by the previous y3 so nothing hoists), giving clean per-op device
 time.  Also sweeps the Pallas row-tile size via the ``_tile_m`` hook.
 
-    python scripts/bench_fused_bn_injit.py [--layers 1 2 3 4] [--tms 0 1024 2048]
+    python scripts/experiments/bench_fused_bn_injit.py [--layers 1 2 3 4] [--tms 0 1024 2048]
 """
 
 from __future__ import annotations
@@ -15,7 +15,9 @@ import argparse
 import sys
 from pathlib import Path
 
-sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))  # scripts/ for _timing
+sys.path.insert(0, str(Path(__file__).resolve().parent))  # archived kernel
 
 import jax
 import jax.numpy as jnp
@@ -43,7 +45,7 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
-    from gloria_tpu.ops.pallas import fused_bn
+    import fused_bn
 
     default_tile_m = fused_bn._tile_m
 

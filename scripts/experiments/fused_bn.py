@@ -1,4 +1,13 @@
-"""Fused bottleneck tail: bn2-apply + relu + 1x1 conv3 + bn3 batch stats.
+"""ARCHIVED EXPERIMENT — fused bottleneck tail (bn2-apply + relu + 1x1 conv3
++ bn3 batch stats).
+
+Removed from the product model in round 4: measured −56% end-to-end on the
+v5e image tower (docs/DESIGN.md, "Round-3 roofline + the fused-BN
+experiment"), and it only applies in train mode — eval BN is a frozen affine
+XLA already fuses into the convolutions, so no inference regime rescues it.
+Kept here with its tests (test_fused_bn.py) and bench scripts as the record
+of why per-block Pallas fusion loses to XLA's program-level fusion at these
+shapes.
 
 Why this op exists (TPU roofline, not reference structure): the ResNet-50
 train step is HBM-bandwidth-bound in its BatchNorm traffic — the op-level

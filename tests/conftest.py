@@ -18,3 +18,11 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: many test files compile the same tiny train
+# step / forward program; within one suite run (and across re-runs on the
+# same box) identical HLO hits the cache instead of re-invoking XLA.  This
+# is the difference between the suite finishing in minutes vs hours on a
+# 1-core box.
+jax.config.update("jax_compilation_cache_dir", "/tmp/gloria_test_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)

@@ -124,3 +124,33 @@ def test_resize_bilinear_matches_torch():
         torch.from_numpy(x).permute(0, 3, 1, 2), size=(40, 9), mode="nearest",
     ).permute(0, 2, 3, 1).numpy()
     np.testing.assert_allclose(got_n, ref_n, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+@pytest.mark.parametrize("train", [True, False])
+def test_split_batch_norm_matches_flax(dtype, train):
+    """SplitBatchNorm == flax nn.BatchNorm: outputs and running stats, both
+    precisions, train + eval (torchvision BN semantics: momentum 0.9, eps
+    1e-5 — reference gloria/models/cnn_backbones.py)."""
+    import flax.linen as nn
+
+    from gloria_tpu.models.norm import SplitBatchNorm
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(4, 5, 5, 8) * 2 + 1, dtype)
+    ours = SplitBatchNorm(use_running_average=not train, momentum=0.9,
+                          epsilon=1e-5, dtype=dtype)
+    ref = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                       epsilon=1e-5, dtype=dtype)
+    v0 = ref.init(jax.random.PRNGKey(0), x)
+    # non-trivial params + running stats
+    v0 = jax.tree_util.tree_map(
+        lambda a: a + jnp.asarray(rng.rand(*a.shape), a.dtype) * 0.3, v0)
+    y_ref, m_ref = ref.apply(v0, x, mutable=["batch_stats"])
+    y_ours, m_ours = ours.apply(v0, x, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(y_ours, np.float32),
+                               np.asarray(y_ref, np.float32), rtol=1e-6, atol=1e-6)
+    for k in ("mean", "var"):
+        np.testing.assert_allclose(np.asarray(m_ours["batch_stats"][k]),
+                                   np.asarray(m_ref["batch_stats"][k]),
+                                   rtol=1e-6, atol=1e-6)
