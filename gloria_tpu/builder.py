@@ -98,7 +98,10 @@ def init_gloria(cfg: Config, batch: dict, seed: int = 0, dtype=jnp.float32,
         loss_chunk = default_loss_chunk(cfg)
     model = build_gloria_model(cfg, dtype=dtype)
     model_batch = {k: jnp.asarray(v) for k, v in batch.items() if k != "cap_lens" and k != "segmentation_labels"}
-    variables = model.init(jax.random.PRNGKey(seed), model_batch)
+    # jit the init: one compiled (and persistently cacheable) program instead
+    # of hundreds of eager op dispatches — ~2x faster on a 1-core CPU host and
+    # one round trip instead of hundreds through a remote-device tunnel
+    variables = jax.jit(model.init)(jax.random.PRNGKey(seed), model_batch)
     tx = build_optimizer(cfg, variables["params"])
     state = create_train_state(model, variables, tx, jax.random.PRNGKey(seed + 1))
     train_step, eval_step = make_pretrain_steps(

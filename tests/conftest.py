@@ -23,6 +23,7 @@ jax.config.update("jax_platforms", "cpu")
 # step / forward program; within one suite run (and across re-runs on the
 # same box) identical HLO hits the cache instead of re-invoking XLA.  This
 # is the difference between the suite finishing in minutes vs hours on a
-# 1-core box.
-jax.config.update("jax_compilation_cache_dir", "/tmp/gloria_test_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+# 1-core box.  GLORIA_TEST_NO_COMPILE_CACHE=1 disables it (debug knob).
+if not os.environ.get("GLORIA_TEST_NO_COMPILE_CACHE"):
+    jax.config.update("jax_compilation_cache_dir", "/tmp/gloria_test_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)

@@ -4,6 +4,9 @@ The reference exposed this knob through Lightning's argparse passthrough
 (``/root/reference/run.py:116`` — ``Trainer.add_argparse_args``); here it is a
 first-class jitted path: G stacked micro-batches scanned on device, gradients
 averaged, BatchNorm stats updated per micro-batch, ONE optimizer update.
+
+Uses the canonical shared setup (tests/_tiny.py) so the plain step's compile
+is shared with the rest of the suite; only the accum variants compile here.
 """
 
 import numpy as np
@@ -12,32 +15,11 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+from _tiny import tiny_batch, tiny_cfg, tiny_setup
 from gloria_tpu.builder import init_gloria
-from gloria_tpu.configs import Config
-from gloria_tpu.data.synthetic import make_synthetic_batch
 from gloria_tpu.parallel import create_mesh, replicate, shard_batch, shard_params
 
-
-def tiny_cfg(accum: int | None = None):
-    cfg = Config({
-        "model": {"gloria": {"temp1": 4.0, "temp2": 5.0, "temp3": 10.0,
-                              "local_loss_weight": 1.0, "global_loss_weight": 1.0},
-                   "vision": {"model_name": "resnet_18"},
-                   "text": {"embedding_dim": 64, "last_n_layers": 4, "agg_tokens": True,
-                             "aggregate_method": "sum",
-                             # dropout off: micro-batch grads must not depend on
-                             # the per-micro rng fold for the identity tests
-                             "bert_config": {"vocab_size": 256, "hidden_size": 64,
-                                              "num_layers": 2, "num_heads": 4,
-                                              "intermediate_size": 128,
-                                              "max_position_embeddings": 32,
-                                              "dropout_rate": 0.0}}},
-        "train": {"batch_size": 8, "optimizer": {"name": "SGD"}, "momentum": 0.0},
-        "lightning": {"trainer": {"lr": 1e-3, "gradient_clip_val": 0.25}},
-    })
-    if accum:
-        cfg.set_path("lightning.trainer.accumulate_grad_batches", accum)
-    return cfg
+ACCUM2 = {"lightning.trainer.accumulate_grad_batches": 2}
 
 
 def _stack(batches):
@@ -47,15 +29,15 @@ def _stack(batches):
 def test_identical_micro_batches_match_single_step():
     """mean of G identical grads == the grad → params after the accum step
     equal the plain step's; BN running stats see G updates instead of one."""
-    raw = make_synthetic_batch(batch_size=8, num_tokens=24, imsize=64, vocab_size=256)
+    raw = tiny_batch(seed=0)
 
-    model, state1, step1, _ = init_gloria(tiny_cfg(), raw)
+    model, state1, step1, _ = tiny_setup()
     # the jitted step donates its input state — snapshot the pre-step BN
     # stats on host before the buffers are consumed
     old_stats = jax.device_get(state1.batch_stats)
     new1, m1 = step1(state1, {k: jnp.asarray(v) for k, v in raw.items()})
 
-    model, state2, step2, _ = init_gloria(tiny_cfg(accum=2), raw)
+    model, state2, step2, _ = tiny_setup(ACCUM2)
     stacked = _stack([raw, raw])
     new2, m2 = step2(state2, stacked)
 
@@ -85,34 +67,35 @@ def test_identical_micro_batches_match_single_step():
 def test_distinct_micro_batches_average_grads():
     """Accum over two DIFFERENT micro-batches: loss metric is the mean of the
     per-micro losses, and the update differs from either single step."""
-    raw_a = make_synthetic_batch(batch_size=8, num_tokens=24, imsize=64, vocab_size=256, seed=0)
-    raw_b = make_synthetic_batch(batch_size=8, num_tokens=24, imsize=64, vocab_size=256, seed=1)
+    raw_a = tiny_batch(seed=0)
+    raw_b = tiny_batch(seed=1)
 
-    model, state, step1, _ = init_gloria(tiny_cfg(), raw_a)
+    model, state, step1, _ = tiny_setup()
     _, ma = step1(state, {k: jnp.asarray(v) for k, v in raw_a.items()})
-    model, state, step1, _ = init_gloria(tiny_cfg(), raw_a)
+    model, state, step1, _ = tiny_setup()
     _, mb = step1(state, {k: jnp.asarray(v) for k, v in raw_b.items()})
 
-    model, state, step2, _ = init_gloria(tiny_cfg(accum=2), raw_a)
+    model, state, step2, _ = tiny_setup(ACCUM2)
     _, m2 = step2(state, _stack([raw_a, raw_b]))
 
     np.testing.assert_allclose(
         float(m2["loss"]), (float(ma["loss"]) + float(mb["loss"])) / 2, rtol=1e-5)
 
 
+@pytest.mark.slow  # compiles a mesh-sharded accum step (~3 min on 1 CPU core)
 def test_accum_under_dp_mesh_matches_single_device():
     """The stacked [G, b, ...] step under a dp mesh reproduces single-device
     numerics (micro-batch axis is axis 1; GSPMD shards it per micro-batch)."""
     assert jax.device_count() >= 8, "conftest must provide the 8-device CPU mesh"
-    raw_a = make_synthetic_batch(batch_size=8, num_tokens=24, imsize=64, vocab_size=256, seed=0)
-    raw_b = make_synthetic_batch(batch_size=8, num_tokens=24, imsize=64, vocab_size=256, seed=1)
+    raw_a = tiny_batch(seed=0)
+    raw_b = tiny_batch(seed=1)
 
-    model, s1, step1, _ = init_gloria(tiny_cfg(accum=2), raw_a)
+    model, s1, step1, _ = tiny_setup(ACCUM2)
     new1, m1 = step1(s1, _stack([raw_a, raw_b]))
 
     mesh = create_mesh(4)
     with mesh:
-        model, s4, step4, _ = init_gloria(tiny_cfg(accum=2), raw_a)
+        model, s4, step4, _ = init_gloria(tiny_cfg(ACCUM2), raw_a)
         s4 = s4.replace(
             params=shard_params(s4.params, mesh),
             batch_stats=replicate(s4.batch_stats, mesh),
@@ -143,35 +126,29 @@ def test_return_attn_with_accum_is_rejected():
 def test_trainer_stacks_and_counts_optimizer_steps():
     """Trainer-level wiring: 5 loader batches at accumulate_grad_batches=2 →
     2 full windows + the trailing single-batch window flushed at epoch end
-    (Lightning steps the incomplete window too) = exactly 3 optimizer steps."""
+    (Lightning steps the incomplete window too) = exactly 3 optimizer steps.
+
+    Also covers the regression where an epoch SHORTER than the window
+    silently trained zero steps: the second epoch below flushes a partial
+    window as its only step."""
     from gloria_tpu.training.trainer import Trainer
 
-    cfg = tiny_cfg(accum=2)
+    cfg = tiny_cfg(ACCUM2)
     cfg.set_path("lightning.trainer.max_epochs", 1)
     cfg.set_path("output_dir", "/tmp/test_accum_trainer")
-    raws = [make_synthetic_batch(batch_size=8, num_tokens=24, imsize=64,
-                                 vocab_size=256, seed=s) for s in range(5)]
-    model, state, train_step, eval_step = init_gloria(cfg, raws[0])
+    raws = [tiny_batch(seed=s) for s in range(5)]
+    model, state, train_step, eval_step = tiny_setup(ACCUM2)
     trainer = Trainer(cfg, train_step, eval_step)
     batches = [{k: np.asarray(v) for k, v in r.items()} for r in raws]
     state = trainer.fit(state, batches)  # 2 full windows + 1 flushed partial
     assert int(jax.device_get(state.step)) == 3
 
-
-def test_trainer_flushes_window_smaller_than_accum():
-    """Epochs with fewer batches than accumulate_grad_batches must still
-    train (regression: the window never filled and the epoch silently ran
-    ZERO optimizer steps while logging train_loss=0)."""
-    from gloria_tpu.training.trainer import Trainer
-
-    cfg = tiny_cfg(accum=4)
-    cfg.set_path("lightning.trainer.max_epochs", 1)
-    cfg.set_path("output_dir", "/tmp/test_accum_trainer_flush")
-    raws = [make_synthetic_batch(batch_size=8, num_tokens=24, imsize=64,
-                                 vocab_size=256, seed=s) for s in range(2)]
-    model, state, train_step, eval_step = init_gloria(cfg, raws[0])
-    trainer = Trainer(cfg, train_step, eval_step)
-    batches = [{k: np.asarray(v) for k, v in r.items()} for r in raws]
-    state = trainer.fit(state, batches)  # 2 < 4 → one flushed window of 2
-    assert int(jax.device_get(state.step)) == 1
-    assert trainer.global_step == 1
+    # epoch shorter than the window: 1 batch < G=2 → one flushed window
+    cfg2 = tiny_cfg(ACCUM2)
+    cfg2.set_path("lightning.trainer.max_epochs", 1)
+    cfg2.set_path("output_dir", "/tmp/test_accum_trainer_flush")
+    model, state2, train_step, eval_step = tiny_setup(ACCUM2)
+    trainer2 = Trainer(cfg2, train_step, eval_step)
+    state2 = trainer2.fit(state2, batches[:1])
+    assert int(jax.device_get(state2.step)) == 1
+    assert trainer2.global_step == 1

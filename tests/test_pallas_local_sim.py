@@ -38,6 +38,7 @@ def test_kernel_matches_jax_path_train_sum_with_sink():
     ref = gl.local_matching(
         jnp.asarray(words), jnp.asarray(regions), mask,
         temp1=4.0, temp2=5.0, agg="sum", sink=jnp.asarray(sink), chunk=0,
+        need_diag_attn=False,
     ).similarities
     got = local_similarities_fused(
         jnp.asarray(regions), jnp.asarray(words), jnp.asarray(cap_lens),
@@ -55,7 +56,8 @@ def test_kernel_padding_safety():
     cap_lens = np.asarray([96, 1, 40], np.int32)
     mask = gl.make_word_mask(jnp.asarray(cap_lens), W, "train")
     ref = gl.local_matching(jnp.asarray(words), jnp.asarray(regions), mask,
-                             temp1=4.0, temp2=5.0, chunk=0).similarities
+                             temp1=4.0, temp2=5.0, chunk=0,
+                             need_diag_attn=False).similarities
     got = pallas_local_similarities(jnp.asarray(words), jnp.asarray(regions),
                                      mask, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-2, atol=2e-2)

@@ -1,49 +1,36 @@
-"""SPMD correctness: sharded training step ≡ single-device numerics."""
+"""SPMD correctness: sharded training step ≡ single-device numerics.
+
+Single-device reference steps come from the shared canonical setup
+(tests/_tiny.py); each mesh variant is its own (expensive) compile, so the
+dp×tp and cross-topology batteries live in the slow lane — the non-slow lane
+keeps one load-bearing mesh-equality assert (dp×fsdp).
+"""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
 
+from _tiny import tiny_batch, tiny_cfg, tiny_setup
 from gloria_tpu.builder import init_gloria
-from gloria_tpu.configs import Config
-from gloria_tpu.data.synthetic import make_synthetic_batch
 from gloria_tpu.parallel import create_mesh, replicate, shard_batch, shard_params
 from gloria_tpu.parallel.mesh import param_spec
 
 
-def tiny_cfg():
-    return Config({
-        "model": {"gloria": {"temp1": 4.0, "temp2": 5.0, "temp3": 10.0,
-                              "local_loss_weight": 1.0, "global_loss_weight": 1.0},
-                   "vision": {"model_name": "resnet_18"},
-                   "text": {"embedding_dim": 64, "last_n_layers": 4, "agg_tokens": True,
-                             "aggregate_method": "sum",
-                             "bert_config": {"vocab_size": 256, "hidden_size": 64,
-                                              "num_layers": 2, "num_heads": 4,
-                                              "intermediate_size": 128,
-                                              "max_position_embeddings": 32}}},
-        # SGD: updates are linear in gradients, so cross-sharding numeric noise
-        # stays tiny (Adam's sqrt-normalization flips near-zero grads by ±lr)
-        "train": {"batch_size": 8, "optimizer": {"name": "SGD"}, "momentum": 0.0},
-        "lightning": {"trainer": {"lr": 1e-3, "gradient_clip_val": 0.25}},
-    })
-
-
 def test_dp_fsdp_step_matches_single_device():
     assert jax.device_count() >= 8, "conftest must provide the 8-device CPU mesh"
-    raw = make_synthetic_batch(batch_size=8, num_tokens=24, imsize=64, vocab_size=256)
-    cfg = tiny_cfg()
+    raw = tiny_batch(seed=0)
 
-    # single device
-    model, state1, step1, _ = init_gloria(cfg, raw)
+    # single device (shared canonical step)
+    model, state1, step1, _ = tiny_setup()
     batch1 = {k: jnp.asarray(v) for k, v in raw.items()}
     new1, m1 = step1(state1, batch1)
 
     # 8-device mesh: dp=4 × fsdp=2 (same init seed → identical params)
     mesh = create_mesh(8, fsdp=2)
     with mesh:
-        model, state8, step8, _ = init_gloria(cfg, raw)
+        model, state8, step8, _ = init_gloria(tiny_cfg(), raw)
         state8 = state8.replace(
             params=shard_params(state8.params, mesh),
             batch_stats=replicate(state8.batch_stats, mesh),
@@ -61,20 +48,20 @@ def test_dp_fsdp_step_matches_single_device():
     assert worst < 5e-4, f"param divergence {worst}"
 
 
+@pytest.mark.slow  # compiles a dp×fsdp×tp step (~3 min on 1 CPU core)
 def test_dp_tp_step_matches_single_device():
     """Megatron-style tensor parallelism over the BERT tower: dp=2 × fsdp=2
     × tp=2 step must reproduce single-device numerics."""
     assert jax.device_count() >= 8, "conftest must provide the 8-device CPU mesh"
-    raw = make_synthetic_batch(batch_size=8, num_tokens=24, imsize=64, vocab_size=256)
-    cfg = tiny_cfg()
+    raw = tiny_batch(seed=0)
 
-    model, state1, step1, _ = init_gloria(cfg, raw)
+    model, state1, step1, _ = tiny_setup()
     batch1 = {k: jnp.asarray(v) for k, v in raw.items()}
     new1, m1 = step1(state1, batch1)
 
     mesh = create_mesh(8, fsdp=2, tp=2)
     with mesh:
-        model, state8, step8, _ = init_gloria(cfg, raw)
+        model, state8, step8, _ = init_gloria(tiny_cfg(), raw)
         state8 = state8.replace(
             params=shard_params(state8.params, mesh),
             batch_stats=replicate(state8.batch_stats, mesh),
@@ -98,10 +85,10 @@ def test_dp_tp_step_matches_single_device():
 
 def test_nonfinite_forward_leaves_params_and_bn_stats_untouched():
     """A batch that NaNs the forward must not poison params OR the BatchNorm
-    running stats (the guard zeroes the update; train_step keeps old stats)."""
-    raw = make_synthetic_batch(batch_size=4, num_tokens=16, imsize=32, vocab_size=256)
-    cfg = tiny_cfg()
-    model, state, step, _ = init_gloria(cfg, raw)
+    running stats (the guard zeroes the update; train_step keeps old stats).
+    Reuses the shared canonical step — zero extra compiles."""
+    raw = tiny_batch(seed=0)
+    model, state, step, _ = tiny_setup()
     batch = {k: jnp.asarray(v) for k, v in raw.items()}
     bad = dict(batch)
     bad["imgs"] = batch["imgs"].at[0, 0, 0, 0].set(jnp.inf)
@@ -124,10 +111,11 @@ def test_nonfinite_forward_leaves_params_and_bn_stats_untouched():
 
 def test_threefry_dropout_impl_runs():
     """cfg train.dropout_rng=threefry (bit-reproducible across shardings)
-    must produce a working, finite step."""
-    raw = make_synthetic_batch(batch_size=4, num_tokens=16, imsize=32, vocab_size=256)
-    cfg = tiny_cfg()
-    cfg.set_path("train.dropout_rng", "threefry")
+    must produce a working, finite step — with dropout actually ON so the
+    threefry path is exercised."""
+    raw = tiny_batch(batch_size=4, num_tokens=16, imsize=32, seed=0)
+    cfg = tiny_cfg({"train.dropout_rng": "threefry"})
+    cfg.model.text.bert_config["dropout_rate"] = 0.1
     model, state, step, _ = init_gloria(cfg, raw)
     batch = {k: jnp.asarray(v) for k, v in raw.items()}
     _, m = step(state, batch)
@@ -135,8 +123,6 @@ def test_threefry_dropout_impl_runs():
 
 
 def test_param_spec_rules():
-    import numpy as np
-
     big = np.zeros((768, 3072), np.float32)
     spec = param_spec(("x",), big, fsdp_size=2)
     assert "fsdp" in spec  # largest divisible axis sharded
@@ -164,12 +150,11 @@ def test_shard_batch_per_host_single_process_equivalence():
 def test_create_mesh_raises_on_too_few_devices():
     # Regression for round-1 MULTICHIP failure: asking for an 8-device mesh
     # with fewer visible devices must error loudly, not silently truncate.
-    import pytest
-
     with pytest.raises(ValueError, match="device"):
         create_mesh(n_devices=len(jax.devices()) + 1)
 
 
+@pytest.mark.slow  # compiles dp×fsdp×tp AND pure-dp steps (~5 min on 1 core)
 def test_sharded_checkpoint_cross_topology_restore(tmp_path):
     """The operational pod→chip flow: step on a dp×fsdp×tp mesh, checkpoint
     (the single-writer save gathers shards to host), restore WITHOUT a mesh
@@ -178,11 +163,11 @@ def test_sharded_checkpoint_cross_topology_restore(tmp_path):
     mesh (pure dp=8)."""
     from gloria_tpu.training.checkpoints import load_checkpoint, save_checkpoint
 
-    raw = make_synthetic_batch(batch_size=8, num_tokens=24, imsize=64, vocab_size=256)
+    raw = tiny_batch(seed=0)
     cfg = tiny_cfg()
 
-    # reference trajectory: two single-device steps
-    model, s1, step1, _ = init_gloria(cfg, raw)
+    # reference trajectory: two single-device steps (shared canonical step)
+    model, s1, step1, _ = tiny_setup()
     b1 = {k: jnp.asarray(v) for k, v in raw.items()}
     ref1, _ = step1(s1, b1)
     ref1_params = jax.device_get(ref1.params)  # step1 donates ref1's buffers
@@ -205,7 +190,7 @@ def test_sharded_checkpoint_cross_topology_restore(tmp_path):
 
     # restore with NO mesh in scope → plain host arrays grafted into a fresh
     # state (s1's buffers were DONATED to step1 — use a new init as target)
-    model, s_fresh, _, _ = init_gloria(cfg, raw)
+    model, s_fresh, _, _ = tiny_setup()
     restored, _ = load_checkpoint(tmp_path / "ck", target=s_fresh)
     cont = s_fresh.replace(
         step=jnp.asarray(restored.step),
