@@ -37,6 +37,7 @@ import numpy as np
 import yaml
 
 REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
 
 
 def base_config(seed: int, epochs: int, lr: float) -> dict:
