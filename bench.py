@@ -25,6 +25,7 @@ import argparse
 import json
 import sys
 import time
+from pathlib import Path
 
 
 # Full-config train-step throughput on this image's CPU (measured 2026-08-16
@@ -188,8 +189,9 @@ def run_sustained(args) -> int:
     # ship single-channel uint8 and normalize inside the jitted step: 12×
     # smaller host→device transfers (2.4 vs 28.9 MB/batch) via the native
     # *_u8_batch ingest kernels — the production transfer-lean path
-    # (host-pipeline-equal by test_data.py::test_device_normalize_uint8...)
-    cfg.set_path("data.device_normalize", True)
+    # (host-pipeline-equal by test_data.py::test_device_normalize_uint8...).
+    # --no-device-normalize prices that win: full float32 RGB host batches.
+    cfg.set_path("data.device_normalize", not args.no_device_normalize)
     batch_size = args.batch_size or 48
 
     # raw corpus: distinct uint8 images + short reports (tokenized for real)
@@ -246,9 +248,21 @@ def run_sustained(args) -> int:
         "unit": "pairs/sec",
         "vs_baseline": round(pairs_per_sec / CPU_BASELINE_PAIRS_PER_SEC, 3),
         "native_ingest": bool(collate.native_ingest),
+        "device_normalize": not args.no_device_normalize,
         "batch": batch_size,
     }
     print(json.dumps(record))
+    # stamp the figure so the headline bench line can carry it as provenance
+    notes_path = Path(__file__).parent / "docs" / "BENCH_NOTES.json"
+    try:
+        notes = json.load(open(notes_path)) if notes_path.exists() else {}
+        key = ("sustained_pairs_per_sec" if record["device_normalize"]
+               else "sustained_pairs_per_sec_f32_ingest")
+        notes[key] = record["value"]
+        notes[key + "_batch"] = batch_size
+        json.dump(notes, open(notes_path, "w"), indent=2)
+    except Exception as exc:
+        print(f"note stamp failed: {exc}", file=sys.stderr)
     return 0 if (total / steps) == (total / steps) else 1
 
 
@@ -279,13 +293,22 @@ def main() -> int:
                     help="device-resident loop K: run K FULL train steps "
                          "(K optimizer updates — reference semantics, unlike "
                          "--accum) per dispatch from K stacked batches")
+    ap.add_argument("--no-device-normalize", action="store_true",
+                    help="(with --sustained) ship full float32 RGB batches "
+                         "instead of single-channel uint8 + on-device "
+                         "normalize — prices the 12x-smaller-transfer path")
     ap.add_argument("--sustained", action="store_true",
                     help="measure the overlapped steady state: host loader "
                          "(collate + prefetch thread) feeding the device step, "
                          "instead of a pre-staged device batch")
     args = ap.parse_args()
 
-    if args.cpu_baseline:
+    import os
+
+    if args.cpu_baseline or args.smoke or os.environ.get("JAX_PLATFORMS") == "cpu":
+        # --smoke is a CPU correctness check; also honor an explicit
+        # JAX_PLATFORMS=cpu, which the axon TPU plugin otherwise overrides
+        # at registration (the config knob outranks the env var)
         import jax
         jax.config.update("jax_platforms", "cpu")
     if args.sustained:
@@ -314,6 +337,20 @@ def main() -> int:
         "unit": "pairs/sec",
         "vs_baseline": round(pairs_per_sec / CPU_BASELINE_PAIRS_PER_SEC, 3),
     }
+    if not (args.smoke or args.cpu_baseline):
+        # config provenance for the recorded line: the headline is the plain
+        # reference-semantics step (K-step measured +2% at K=8, below the 3%
+        # switch bar — docs/DESIGN.md round-5 table); the sustained
+        # (host-loader-overlapped) figure is recorded alongside when a run of
+        # `bench.py --sustained` has stamped it into docs/BENCH_NOTES.json
+        record["steps_per_dispatch"] = args.steps_per_dispatch
+        record["accum"] = args.accum
+        try:
+            notes = json.load(open(Path(__file__).parent / "docs" / "BENCH_NOTES.json"))
+            record.update({k: v for k, v in notes.items()
+                           if k.startswith("sustained")})
+        except Exception:
+            pass
     peak = None if flops is None else device_peak_flops()
     if flops and peak:
         # model FLOPs utilization: XLA-counted FLOPs of the compiled step ×

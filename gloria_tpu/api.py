@@ -188,7 +188,7 @@ class GloriaModel:
                 mesh=self.mesh, temp1=4.0, temp2=5.0, sink=sink,
                 use_fused=True,
             ))
-        return np.asarray(gloria_loss.local_similarities_eval(
+        return np.asarray(gloria_loss.local_similarities_eval_jit(
             img_emb_l, text_emb_l, jnp.asarray(cap_lens),
             temp1=4.0, temp2=5.0, sink=sink,  # hardcoded in the reference eval path
             use_fused=use_fused,

@@ -506,6 +506,15 @@ def local_similarities_eval(
     return m.similarities
 
 
+# jitted entry point for the per-batch eval hot path (api.GloriaModel.
+# get_local_similarities → evaluate_zero_shot runs it B/batch × C times):
+# one executable per shape instead of eager per-op dispatch — through an
+# execution tunnel the eager path pays a round-trip per op
+local_similarities_eval_jit = jax.jit(
+    local_similarities_eval,
+    static_argnames=("temp1", "temp2", "chunk", "precision", "use_fused"))
+
+
 def local_similarities_eval_sharded(
     img_regions: jnp.ndarray,
     words: jnp.ndarray,
@@ -529,6 +538,12 @@ def local_similarities_eval_sharded(
     ``api.GloriaModel.encode_images``).  Matches the reference's
     single-device ``get_local_similarities``
     (``gloria/models/gloria_model.py:171-207``) numerically.
+
+    The jitted shard_map program is memoized per (mesh, temps, paths): a
+    fresh ``jax.shard_map`` closure per call has no executable-cache
+    identity, so every eval batch would re-trace and re-lower — measured
+    1.5 s/call (fused) / 12.4 s/call (XLA) at the 5x200 shape through the
+    execution tunnel before memoization (docs/DESIGN.md round 5).
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -544,6 +559,35 @@ def local_similarities_eval_sharded(
     row_spec = P("data", None, None)
     rep = P()
 
+    sharded = _sharded_eval_program(
+        mesh, float(temp1), float(temp2), has_sink, bool(use_fused),
+        bool(interpret))
+    # replicate the small operands explicitly so shard_map sees committed
+    # shardings (host arrays would otherwise be re-committed per trace)
+    words = jax.device_put(words, NamedSharding(mesh, rep))
+    cap_lens = jax.device_put(cap_lens, NamedSharding(mesh, rep))
+    sink_arg = (jax.device_put(sink, NamedSharding(mesh, rep)) if has_sink
+                else jnp.zeros((words.shape[-1],), words.dtype))
+    img_regions = jax.device_put(img_regions, NamedSharding(mesh, row_spec))
+    out = sharded(img_regions, words, cap_lens, sink_arg)
+    return out[:B] if pad else out
+
+
+_SHARDED_EVAL_CACHE: dict = {}
+
+
+def _sharded_eval_program(mesh, temp1: float, temp2: float, has_sink: bool,
+                          use_fused: bool, interpret: bool):
+    """Memoized ``jit(shard_map(...))`` row-block similarity program, keyed
+    on the mesh and every trace-affecting flag; jit handles shape dispatch,
+    so repeated eval batches reuse one executable."""
+    from jax.sharding import PartitionSpec as P
+
+    key = (mesh, temp1, temp2, has_sink, use_fused, interpret)
+    fn = _SHARDED_EVAL_CACHE.get(key)
+    if fn is not None:
+        return fn
+
     def block(regions_blk, words_rep, lens_rep, sink_rep):
         s = sink_rep if has_sink else None
         if use_fused:
@@ -555,21 +599,14 @@ def local_similarities_eval_sharded(
         return local_similarities_eval(
             regions_blk, words_rep, lens_rep, temp1=temp1, temp2=temp2, sink=s)
 
-    sharded = jax.shard_map(
+    fn = jax.jit(jax.shard_map(
         block, mesh=mesh,
-        in_specs=(row_spec, rep, rep, rep),
+        in_specs=(P("data", None, None), P(), P(), P()),
         out_specs=P("data", None),
         check_vma=False,  # pallas_call defeats replication inference
-    )
-    # replicate the small operands explicitly so shard_map sees committed
-    # shardings (host arrays would otherwise be re-committed per trace)
-    words = jax.device_put(words, NamedSharding(mesh, rep))
-    cap_lens = jax.device_put(cap_lens, NamedSharding(mesh, rep))
-    sink_arg = (jax.device_put(sink, NamedSharding(mesh, rep)) if has_sink
-                else jnp.zeros((words.shape[-1],), words.dtype))
-    img_regions = jax.device_put(img_regions, NamedSharding(mesh, row_spec))
-    out = sharded(img_regions, words, cap_lens, sink_arg)
-    return out[:B] if pad else out
+    ))
+    _SHARDED_EVAL_CACHE[key] = fn
+    return fn
 
 
 def attention_entropy(attn: jnp.ndarray, eps: float = EPS) -> jnp.ndarray:

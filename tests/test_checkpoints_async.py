@@ -2,12 +2,17 @@
 protection (CheckpointManager(async_save=True); reference counterpart is
 Lightning's synchronous ModelCheckpoint)."""
 
+import pytest
+
 import numpy as np
 
 import jax.numpy as jnp
 
 from gloria_tpu.configs import Config
 from gloria_tpu.training.checkpoints import CheckpointManager
+
+
+pytestmark = pytest.mark.smoke  # bounded quick tier (see README)
 
 
 def _tree(step: int):

@@ -11,6 +11,9 @@ from gloria_tpu.data.tokenizer import TextProcessor, WordPieceTokenizer, clean_r
 from gloria_tpu.data.transforms import build_transformation, letterbox_resize, normalize
 
 
+pytestmark = pytest.mark.smoke  # bounded quick tier (see README)
+
+
 def data_cfg(imsize=64, crop=48, word_num=24):
     return Config({
         "data": {"image": {"imsize": imsize}, "text": {"word_num": word_num}},

@@ -6,6 +6,8 @@ errors, never die) in CI, including deliberately corrupted entries that the
 crawl must report rather than crash on.
 """
 
+import pytest
+
 import importlib.util
 import os
 
@@ -26,6 +28,9 @@ from test_mimic import make_mirror
 
 from gloria_tpu.configs import Config
 from gloria_tpu.data import mimic
+
+
+pytestmark = pytest.mark.smoke  # bounded quick tier (see README)
 
 
 def _big_mirror(tmp_path, n_dicoms=24):

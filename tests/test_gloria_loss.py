@@ -12,6 +12,9 @@ from reference_numerics import np_global_loss, np_local_loss
 jax.config.update("jax_default_matmul_precision", "highest")
 
 
+pytestmark = pytest.mark.smoke  # bounded quick tier (see README)
+
+
 def make_inputs(B=6, W=13, R=9, D=16, seed=0):
     rng = np.random.RandomState(seed)
     regions = rng.randn(B, R, D).astype(np.float32)

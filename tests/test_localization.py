@@ -1,5 +1,7 @@
 """Localization evaluation + instance reweighting callbacks."""
 
+import pytest
+
 import numpy as np
 
 import jax.numpy as jnp
@@ -9,6 +11,9 @@ from gloria_tpu.training.localization import (
     batch_localization_metrics, sent_bboxes_to_segmentation_label, sentence_attention,
 )
 from gloria_tpu.configs import Config
+
+
+pytestmark = pytest.mark.smoke  # bounded quick tier (see README)
 
 
 def test_segmentation_label_from_bboxes():

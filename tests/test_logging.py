@@ -6,6 +6,8 @@ histograms) is exercised against a stub ``wandb`` module — the real package
 is not in this image and must never be a hard dependency.
 """
 
+import pytest
+
 import json
 import sys
 import types
@@ -13,6 +15,9 @@ import types
 import numpy as np
 
 from gloria_tpu.utils.logging import MetricLogger
+
+
+pytestmark = pytest.mark.smoke  # bounded quick tier (see README)
 
 
 class _Recorder:

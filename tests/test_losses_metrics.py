@@ -13,6 +13,9 @@ from gloria_tpu.training import metrics as M
 torch = pytest.importorskip("torch")
 
 
+pytestmark = pytest.mark.smoke  # bounded quick tier (see README)
+
+
 def test_focal_and_mixed_match_torch_formulation():
     rng = np.random.RandomState(0)
     logits = rng.randn(4, 16, 16).astype(np.float32) * 3

@@ -17,6 +17,9 @@ from gloria_tpu.data import mimic
 from gloria_tpu.data.text_masking import build_masker, mask_words
 
 
+pytestmark = pytest.mark.smoke  # bounded quick tier (see README)
+
+
 def make_mirror(tmp_path, n_dicoms=4):
     filer = mimic.MimicCxrFiler(str(tmp_path / "mimic-cxr"))
     imagenome = mimic.ImaGenomeFiler(str(tmp_path / "chest-imagenome"))

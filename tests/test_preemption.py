@@ -6,6 +6,8 @@ installs its own handlers, breaks at the next batch boundary, saves, and
 returns so the job can be requeued with ``--resume``.
 """
 
+import pytest
+
 import os
 import signal
 
@@ -18,6 +20,9 @@ from gloria_tpu.configs import Config
 from gloria_tpu.data.synthetic import make_synthetic_batch
 from gloria_tpu.training.checkpoints import CheckpointManager
 from gloria_tpu.training.trainer import Trainer
+
+
+pytestmark = pytest.mark.smoke  # bounded quick tier (see README)
 
 
 def tiny_cfg():

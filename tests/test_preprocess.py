@@ -8,6 +8,8 @@ follow the reference's conventions, and the 5×200 benchmark selects
 single-positive frontal studies merged with master-CSV reports.
 """
 
+import pytest
+
 from pathlib import Path
 
 import numpy as np
@@ -21,6 +23,9 @@ ALL_LABELS = [
     "Enlarged Cardiomediastinum", "No Finding", "Lung Lesion", "Lung Opacity",
     "Pneumonia", "Pneumothorax", "Pleural Other", "Fracture", "Support Devices",
 ]
+
+
+pytestmark = pytest.mark.smoke  # bounded quick tier (see README)
 
 
 def test_pneumonia_split_prep(tmp_path, monkeypatch):

@@ -1,9 +1,14 @@
 """WordPiece→word aggregation parity vs a loop oracle of the reference
 ``BertEncoder.aggregate_tokens`` (text_model.py:32-90)."""
 
+import pytest
+
 import numpy as np
 
 from gloria_tpu.ops.segment import aggregate_embeddings, build_batch_assignment, build_word_assignment
+
+
+pytestmark = pytest.mark.smoke  # bounded quick tier (see README)
 
 
 def oracle_aggregate(tokens, embs, num_words):
