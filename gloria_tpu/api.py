@@ -38,6 +38,24 @@ from .utils import torch_import
 np.random.seed(6)
 random.seed(6)
 
+
+def enable_persistent_compile_cache() -> None:
+    """Share XLA executables across processes (same policy as ``run.py``).
+
+    The zero-shot / similarity API compiles several distinct programs (both
+    towers + the similarity kernels); on a tunnel-attached device a cold
+    compile dominates wall-clock, and every new CLI process would otherwise
+    pay it again.  Respects ``GLORIA_COMPILE_CACHE`` (set it to an empty
+    string to disable)."""
+    cache_dir = os.environ.get("GLORIA_COMPILE_CACHE", "/tmp/jax_cache")
+    if not cache_dir:
+        return
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
+
 _MODELS = {
     "gloria_resnet50": "./pretrained/chexpert_resnet50.ckpt",
     "gloria_resnet18": "./pretrained/chexpert_resnet18.ckpt",
@@ -337,6 +355,7 @@ def load_gloria(
 ) -> GloriaModel:
     """Load from a registry name, a torch ``.ckpt`` (reference zoo), or a
     gloria_tpu orbax checkpoint directory."""
+    enable_persistent_compile_cache()
     if name in _MODELS:
         ckpt_path = _MODELS[name]
     elif os.path.exists(name):
@@ -351,10 +370,20 @@ def load_gloria(
 
     path = Path(ckpt_path)
     if path.is_dir():  # gloria_tpu checkpoint
+        from .data.tokenizer import load_saved_tokenizer
         from .training.checkpoints import load_checkpoint
 
         state, cfg = load_checkpoint(path)
         cfg = cfg_override or cfg or Config()
+        if tokenizer is None:
+            # self-contained checkpoints: the vocab persisted at save time
+            # (sibling `<name>.tokenizer/` for one-off saves, `tokenizer/` at
+            # the CheckpointManager root) beats the generic fallback below
+            for cand in (path.parent / f"{path.name}.tokenizer",
+                         path.parent / "tokenizer"):
+                tokenizer = load_saved_tokenizer(cand)
+                if tokenizer is not None:
+                    break
         if isinstance(state, dict) and "opt_state" in state:
             # training checkpoint: a full TrainState tree (params, opt_state,
             # batch_stats, rng, step) — the model needs only the collections

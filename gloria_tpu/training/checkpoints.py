@@ -69,6 +69,14 @@ class CheckpointManager:
         if hasattr(self._ckpt, "wait_until_finished"):
             self._ckpt.wait_until_finished()
 
+    def save_tokenizer(self, tokenizer) -> None:
+        """Persist the training tokenizer once at the manager root
+        (``<dir>/tokenizer/vocab.txt``) so every ``step_*`` checkpoint under
+        it is self-contained for ``api.load_gloria`` (single-writer under
+        multi-host, like :meth:`save`)."""
+        if tokenizer is not None and jax.process_index() == 0:
+            tokenizer.save_vocab(self.dir / "tokenizer")
+
     # -- core save/load --------------------------------------------------------
     def _write(self, name: str, state: Any, cfg: Config | None, extra: dict):
         path = self.dir / name
@@ -166,14 +174,22 @@ class CheckpointManager:
         return state, cfg, extra
 
 
-def save_checkpoint(path: str | Path, state: Any, cfg: Config | None = None) -> None:
-    """One-off checkpoint (no manager bookkeeping)."""
+def save_checkpoint(path: str | Path, state: Any, cfg: Config | None = None,
+                    tokenizer=None) -> None:
+    """One-off checkpoint (no manager bookkeeping).  Pass ``tokenizer`` to
+    make the checkpoint self-contained: the vocab is written next to the
+    state so ``api.load_gloria(path)`` restores the exact tokenizer."""
     path = Path(path)
     if path.exists():
         shutil.rmtree(path)
     ocp.PyTreeCheckpointer().save(path.resolve(), _to_host(state))
     if cfg is not None:
         (path.parent / f"{path.name}.meta.json").write_text(json.dumps({"cfg": cfg.to_dict()}))
+    if tokenizer is not None:
+        # sibling dir, NOT inside the orbax tree: a target-less restore
+        # infers the pytree from directory contents, so foreign files in the
+        # checkpoint dir would corrupt the inferred structure
+        tokenizer.save_vocab(path.parent / f"{path.name}.tokenizer")
 
 
 def load_checkpoint(path: str | Path, target: Any = None) -> tuple[Any, Config | None]:

@@ -127,6 +127,15 @@ def main(cfg, args) -> dict:
     import jax
     import jax.numpy as jnp
 
+    # honor JAX_PLATFORMS even when a PJRT plugin overrides it at import
+    # (the axon TPU plugin does): `JAX_PLATFORMS=cpu python run.py` must be
+    # a hermetic CPU run, same pin as bench.py --smoke / tests/conftest.py
+    if os.environ.get("JAX_PLATFORMS"):
+        try:
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except Exception:
+            pass
+
     # persistent compilation cache: re-running an experiment (seed sweeps,
     # resumes, ablation grids over non-shape flags) skips the multi-minute
     # first compile of the train step
@@ -180,6 +189,10 @@ def main(cfg, args) -> dict:
         # waits for durability at fit() exit and on preemption saves
         async_save=bool(ckpt_cfg.get("async_save", False)),
     )
+    # self-contained checkpoints: persist the training vocab once so
+    # api.load_gloria(<ckpt>) restores the exact tokenizer with no corpus
+    if getattr(dm, "tokenizer", None) is not None:
+        manager.save_tokenizer(dm.tokenizer)
     # reference run.py:137-144 instantiates the logger class named by
     # cfg.lightning.logger.logger_type (WandbLogger in the shipped configs);
     # here the same key opts the MetricLogger into its wandb mirror

@@ -148,6 +148,19 @@ def zero_shot_accuracy(ckpt: str, cfg: dict, n_items: int = 96) -> float:
 
 
 def main() -> int:
+    # honor JAX_PLATFORMS for the in-process zero-shot phases too (the axon
+    # TPU plugin overrides the env var at import; run.py subprocesses carry
+    # the same pin) — `JAX_PLATFORMS=cpu` makes the whole loop hermetic
+    import os
+
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except Exception:
+            pass
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/sci_loop")
     ap.add_argument("--epochs", type=int, default=12)

@@ -133,6 +133,34 @@ def test_load_gloria_from_training_checkpoint(gm, tmp_path):
         rtol=1e-5, atol=1e-6)
 
 
+def test_self_contained_checkpoint_restores_tokenizer(gm, tmp_path):
+    """A checkpoint saved with its tokenizer loads WITHOUT the caller passing
+    one: the vocab round-trips through the sibling `.tokenizer/` dir (one-off
+    save) and the manager-root `tokenizer/` dir, and the restored model's
+    text pipeline matches the original exactly.  Without persistence,
+    load_gloria falls back to a degenerate 2-word corpus vocab and every
+    similarity is garbage (found via the round-5 verify drive)."""
+    from gloria_tpu.training.checkpoints import CheckpointManager, save_checkpoint
+
+    # one-off save_checkpoint(tokenizer=...)
+    ckpt = tmp_path / "sc_ckpt"
+    save_checkpoint(ckpt, gm.variables, cfg=gm.cfg, tokenizer=gm.tokenizer)
+    loaded = api.load_gloria(str(ckpt))  # NO tokenizer argument
+    assert loaded.tokenizer.vocab == gm.tokenizer.vocab
+    assert loaded.tokenizer.lower == gm.tokenizer.lower
+    txts_a = loaded.process_text(["mild edema at the left lung base"])
+    txts_b = gm.process_text(["mild edema at the left lung base"])
+    np.testing.assert_array_equal(txts_a["caption_ids"], txts_b["caption_ids"])
+    assert txts_a["cap_lens"].tolist() == txts_b["cap_lens"].tolist()
+
+    # CheckpointManager.save_tokenizer → every step_* under the root resolves
+    mgr = CheckpointManager(tmp_path / "mgr", monitor="val_loss", save_top_k=1)
+    mgr.save_tokenizer(gm.tokenizer)
+    path = mgr.save(gm.variables, step=1, metrics={"val_loss": 1.0}, cfg=gm.cfg)
+    loaded2 = api.load_gloria(path)
+    assert loaded2.tokenizer.vocab == gm.tokenizer.vocab
+
+
 def test_checkpoint_manager(tmp_path):
     from gloria_tpu.training.checkpoints import CheckpointManager
 
