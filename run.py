@@ -356,10 +356,14 @@ if __name__ == "__main__":
         out = main(cfg, args)
         if out.get("best_ckpt"):
             best_ckpts[f"seed_{cfg.random_seed}"] = out["best_ckpt"]
-        print(out)
+            # durable after every seed, and BEFORE touching stdout: a driver
+            # that captured our pipe may be gone, making print() raise
+            # BrokenPipeError — the ckpt index must not die with it
+            import yaml
 
-    if best_ckpts:
-        import yaml
-
-        with open(os.path.join(base, "best_ckpts.yaml"), "w") as fh:
-            yaml.safe_dump(best_ckpts, fh)
+            with open(os.path.join(base, "best_ckpts.yaml"), "w") as fh:
+                yaml.safe_dump(best_ckpts, fh)
+        try:
+            print(out)
+        except BrokenPipeError:
+            pass
